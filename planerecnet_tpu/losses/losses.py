@@ -1,0 +1,417 @@
+"""PlaneRecNet joint loss system, TPU-native.
+
+Re-designs the reference loss stack (reference models/functions/losses.py:10-392)
+as shape-static, fully-device-side JAX code:
+
+* **GT preparation** (reference ``prepare_ground_truth``, losses.py:200-286) —
+  the per-image python loops and the host-side cv2 mask rescale
+  (losses.py:243-247) become fixed-capacity vmapped tensor code: every GT
+  instance contributes at most a 3x3 window of positive grid cells per level
+  (the reference's ``top/down/left/right`` clamp to ``coord±1``), so positives
+  are laid out as a dense ``(num_instances, 9)`` slot table + validity mask,
+  then compacted to ``max_positives`` slots per level.
+
+* **Dice / focal / RMSElog** (losses.py:304-392) — identical math on masked
+  fixed-capacity tensors.
+
+* **Lava loss** (losses.py:288-302, 169-197) — instead of bilinearly
+  upsampling every assembled instance mask to full resolution
+  (reference LavaLoss.forward), we use the exact adjoint identity
+  ``sum(resize(m) * G) == sum(m * resize_adjoint(G))``: the gradient map is
+  pulled back to mask resolution once per image, making the loss a dot
+  product per slot. Bit-equivalent, ~16x less memory traffic.
+
+Batch layout (produced by ``planerecnet_tpu/data``): GT instances are padded
+to ``cfg.max_instances`` with a ``gt_valid`` mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planerecnet_tpu.config import PlaneRecNetConfig
+from planerecnet_tpu.ops.image import _resize_weights, resize_bilinear
+from planerecnet_tpu.losses.vnl import vnl_loss_single
+
+
+# --------------------------------------------------------------------------
+# Elementary losses (reference losses.py:304-392)
+# --------------------------------------------------------------------------
+
+
+def dice_loss(input_sig: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-instance dice loss (reference DiceLoss, losses.py:345-357).
+
+    ``input_sig``: (..., P) sigmoid mask probabilities flattened over pixels.
+    ``target``:    (..., P) binary target masks.
+    Returns (...,) per-instance loss.
+    """
+    a = jnp.sum(input_sig * target, axis=-1)
+    b = jnp.sum(input_sig * input_sig, axis=-1) + 0.001
+    c = jnp.sum(target * target, axis=-1) + 0.001
+    return 1.0 - (2 * a) / (b + c)
+
+
+def sigmoid_focal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                       alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+    """Elementwise sigmoid focal loss (reference SigmoidFocalLoss,
+    losses.py:320-342), no reduction."""
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = alpha_t * loss
+    return loss
+
+
+def rmse_log_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                  valid: jnp.ndarray, clamp_val: float = 1e-9) -> jnp.ndarray:
+    """Per-image RMSE of log-depth over valid pixels (reference RMSElogLoss,
+    losses.py:360-381). ``pred``/``target``/``valid``: (B, ...) flattened over
+    trailing dims."""
+    b = pred.shape[0]
+    pred = pred.reshape(b, -1)
+    target = target.reshape(b, -1)
+    valid = valid.reshape(b, -1).astype(pred.dtype)
+    l1 = jnp.abs(jnp.log(jnp.maximum(pred, clamp_val))
+                 - jnp.log(jnp.maximum(target, clamp_val))) * valid
+    mean = jnp.sum(l1 ** 2, axis=1) / jnp.maximum(jnp.sum(valid, axis=1), 1.0)
+    return jnp.sqrt(mean)
+
+
+def compute_gradient_map(depth: jnp.ndarray,
+                         valid_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Squared sobel gradient magnitude of (B, H, W, 1) depth maps with
+    reflect padding (reference compute_gradient_map, losses.py:304-329)."""
+    sobel_x = jnp.asarray([[1, 0, -1], [2, 0, -2], [1, 0, -1]],
+                          jnp.float32) / 8.0
+    sobel_y = jnp.asarray([[1, 2, 1], [0, 0, 0], [-1, -2, -1]],
+                          jnp.float32) / 8.0
+    kernel = jnp.stack([sobel_x, sobel_y], axis=-1)[:, :, None, :]  # HWIO
+    padded = jnp.pad(depth, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    g = jax.lax.conv_general_dilated(
+        padded, kernel, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    grads = g[..., 0:1] ** 2 + g[..., 1:2] ** 2
+    if valid_mask is not None:
+        grads = grads * valid_mask.astype(grads.dtype)
+    return grads
+
+
+def adjoint_resize(grad_map: jnp.ndarray, out_size: Tuple[int, int]) -> jnp.ndarray:
+    """Exact adjoint of ``resize_bilinear`` from ``out`` resolution back to
+    ``out_size``: satisfies sum(resize(m, big) * G) == sum(m * adjoint(G)).
+
+    ``grad_map``: (H, W). Returns (out_size[0], out_size[1]).
+    """
+    h, w = grad_map.shape
+    oh, ow = out_size
+    wh = _resize_weights(oh, h)       # (oh, h): forward low->high weights
+    ww = _resize_weights(ow, w)       # (ow, w)
+    return wh @ grad_map @ ww.T
+
+
+# --------------------------------------------------------------------------
+# Ground-truth preparation (reference losses.py:200-286)
+# --------------------------------------------------------------------------
+
+
+def center_of_mass(masks: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mass centers of (N, H, W) float masks (reference funcs.py:213-224).
+    Returns (center_x, center_y)."""
+    n, h, w = masks.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    m00 = jnp.maximum(jnp.sum(masks, axis=(1, 2)), 1e-6)
+    m10 = jnp.sum(masks * xs[None, None, :], axis=(1, 2))
+    m01 = jnp.sum(masks * ys[None, :, None], axis=(1, 2))
+    return m10 / m00, m01 / m00
+
+
+def _prepare_level_single(boxes: jnp.ndarray, labels: jnp.ndarray,
+                          gt_valid: jnp.ndarray, mask_sums: jnp.ndarray,
+                          centers_x: jnp.ndarray, centers_y: jnp.ndarray,
+                          img_hw: Tuple[int, int], num_grid: int,
+                          scale_range: Tuple[float, float], sigma: float,
+                          num_classes: int, max_positives: int):
+    """Fixed-capacity per-level GT assignment for ONE image.
+
+    Mirrors the per-instance loop of reference losses.py:212-276: scale-range
+    gating by sqrt-box-area, mass-center cell, sigma-shrunk center box clamped
+    to the coord±1 window.
+
+    Returns:
+      cate_label: (num_grid**2,) int32, background = num_classes.
+      ins_ind:    (num_grid**2,) bool unique-positive-cell flags.
+      pos_cell:   (max_positives,) int32 grid-cell ids (row-major).
+      pos_inst:   (max_positives,) int32 GT instance ids.
+      pos_valid:  (max_positives,) bool.
+    """
+    h, w = img_hw
+    n = boxes.shape[0]
+    lo, hi = scale_range
+
+    areas = jnp.sqrt(jnp.maximum(
+        (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 0.0))
+    hit = gt_valid & (areas >= lo) & (areas <= hi) & (mask_sums > 0)
+
+    half_w = 0.5 * (boxes[:, 2] - boxes[:, 0]) * sigma
+    half_h = 0.5 * (boxes[:, 3] - boxes[:, 1]) * sigma
+
+    g = num_grid
+    coord_w = jnp.floor((centers_x / w) * g).astype(jnp.int32)
+    coord_h = jnp.floor((centers_y / h) * g).astype(jnp.int32)
+    top_box = jnp.maximum(
+        0, jnp.floor(((centers_y - half_h) / h) * g).astype(jnp.int32))
+    down_box = jnp.minimum(
+        g - 1, jnp.floor(((centers_y + half_h) / h) * g).astype(jnp.int32))
+    left_box = jnp.maximum(
+        0, jnp.floor(((centers_x - half_w) / w) * g).astype(jnp.int32))
+    right_box = jnp.minimum(
+        g - 1, jnp.floor(((centers_x + half_w) / w) * g).astype(jnp.int32))
+
+    top = jnp.maximum(top_box, coord_h - 1)
+    down = jnp.minimum(down_box, coord_h + 1)
+    left = jnp.maximum(left_box, coord_w - 1)
+    right = jnp.minimum(right_box, coord_w + 1)
+
+    # All candidate cells live in the 3x3 window around the center cell.
+    d = jnp.asarray([-1, 0, 1], jnp.int32)
+    ci = coord_h[:, None, None] + d[None, :, None]          # (N, 3, 1)
+    cj = coord_w[:, None, None] + d[None, None, :]          # (N, 1, 3)
+    ci = jnp.broadcast_to(ci, (n, 3, 3))
+    cj = jnp.broadcast_to(cj, (n, 3, 3))
+    ok = (hit[:, None, None]
+          & (ci >= top[:, None, None]) & (ci <= down[:, None, None])
+          & (cj >= left[:, None, None]) & (cj <= right[:, None, None]))
+
+    cells = (ci * g + cj).reshape(-1)                       # (N*9,)
+    slot_valid = ok.reshape(-1)
+    slot_inst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 9)
+
+    # cate_label / ins_ind scatters (single foreground class in practice, so
+    # duplicate-cell write order is immaterial; reference iterates instances
+    # in order, losses.py:249-276).
+    scatter_idx = jnp.where(slot_valid, cells, g * g)       # g*g = dropped
+    cate_label = jnp.full((g * g + 1,), num_classes, jnp.int32)
+    cate_label = cate_label.at[scatter_idx].set(
+        jnp.repeat(labels.astype(jnp.int32), 9), mode="drop")[:g * g]
+    ins_ind = jnp.zeros((g * g + 1,), bool).at[scatter_idx].set(
+        True, mode="drop")[:g * g]
+
+    # Compact the (N*9) slot table to max_positives entries, preserving
+    # instance order (stable selection of valid slots).
+    order_score = slot_valid.astype(jnp.int32) * (2 * n * 9) - jnp.arange(
+        n * 9, dtype=jnp.int32)
+    _, sel = jax.lax.top_k(order_score, max_positives)
+    pos_cell = cells[sel]
+    pos_inst = slot_inst[sel]
+    pos_valid = slot_valid[sel]
+    return cate_label, ins_ind, pos_cell, pos_inst, pos_valid
+
+
+def prepare_ground_truth(cfg: PlaneRecNetConfig,
+                         boxes: jnp.ndarray, labels: jnp.ndarray,
+                         gt_valid: jnp.ndarray, masks: jnp.ndarray,
+                         num_levels: int):
+    """Batched GT preparation over all instance levels.
+
+    Args:
+      boxes:   (B, N, 4) xyxy in input pixels.
+      labels:  (B, N) int class labels.
+      gt_valid:(B, N) bool.
+      masks:   (B, N, H, W) binary GT masks at input resolution.
+      num_levels: number of instance prediction levels (always 4).
+
+    Returns dict with per-level lists:
+      cate_labels[l]: (B, S_l^2) int32
+      ins_inds[l]:    (B, S_l^2) bool
+      pos_cells[l]:   (B, P) int32
+      pos_insts[l]:   (B, P) int32
+      pos_valids[l]:  (B, P) bool
+    and ``masks4``: (B, N, H/4, W/4) rescaled GT masks (the device-side
+    replacement for the reference's cv2 round-trip, losses.py:242-247).
+    """
+    sv = cfg.solov2
+    b, n, h, w = masks.shape
+    p = cfg.max_positives
+
+    masksf = masks.astype(jnp.float32)
+    mask_sums = jnp.sum(masksf, axis=(2, 3))
+    cx, cy = jax.vmap(center_of_mass)(masksf)
+
+    # Device-side 1/4 rescale; cv2 INTER_LINEAR on uint8 rounds to nearest.
+    masks4 = resize_bilinear(
+        masksf.reshape(b * n, h, w, 1), (h // 4, w // 4))
+    masks4 = jnp.round(masks4).reshape(b, n, h // 4, w // 4)
+
+    out = {"cate_labels": [], "ins_inds": [], "pos_cells": [],
+           "pos_insts": [], "pos_valids": [], "masks4": masks4}
+    for lvl in range(num_levels):
+        fn = functools.partial(
+            _prepare_level_single,
+            img_hw=(h, w), num_grid=sv.num_grids[lvl],
+            scale_range=tuple(sv.fpn_scale_ranges[lvl]), sigma=sv.sigma,
+            num_classes=cfg.num_classes, max_positives=p)
+        cate, ind, cell, inst, pvalid = jax.vmap(fn)(
+            boxes, labels, gt_valid, mask_sums, cx, cy)
+        out["cate_labels"].append(cate)
+        out["ins_inds"].append(ind)
+        out["pos_cells"].append(cell)
+        out["pos_insts"].append(inst)
+        out["pos_valids"].append(pvalid)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Full joint loss (reference PlaneRecNetLoss.forward, losses.py:53-198)
+# --------------------------------------------------------------------------
+
+
+def compute_losses(cfg: PlaneRecNetConfig,
+                   preds: Dict,
+                   batch: Dict,
+                   rng: jax.Array) -> Dict[str, jnp.ndarray]:
+    """Joint weighted loss dict: ins / cat / dpt [/ pln / lav].
+
+    ``preds`` is the model forward output (cate_preds, kernel_preds,
+    mask_pred, depth_pred); ``batch`` holds the padded GT arrays.
+    """
+    sv = cfg.solov2
+    cate_preds: List[jnp.ndarray] = preds["cate_preds"]
+    kernel_preds: List[jnp.ndarray] = preds["kernel_preds"]
+    mask_pred = preds["mask_pred"].astype(jnp.float32)      # (B, Hm, Wm, K)
+    depth_pred = preds["depth_pred"].astype(jnp.float32)    # (B, H/2, W/2, 1)
+
+    gt_masks = batch["masks"]            # (B, N, H, W)
+    gt_boxes = batch["boxes"]            # (B, N, 4)
+    gt_labels = batch["classes"]         # (B, N)
+    gt_valid = batch["gt_valid"]         # (B, N)
+    gt_depths = batch["depth"]           # (B, H, W, 1)
+
+    num_levels = len(cate_preds)
+    b, hm, wm, n_k = mask_pred.shape
+    losses: Dict[str, jnp.ndarray] = {}
+
+    gt = prepare_ground_truth(cfg, gt_boxes, gt_labels, gt_valid,
+                              gt_masks, num_levels)
+    masks4 = gt["masks4"]                                    # (B, N, Hm, Wm)
+    targets_flat = masks4.reshape(b, -1, hm * wm)            # (B, N, P)
+
+    # Lava-loss gradient map, pulled back to mask resolution (adjoint trick).
+    need_lava = cfg.use_lava_loss
+    if need_lava:
+        # NB: faithfully replicated reference quirk — losses.py:172-181 tests
+        # for the names 'ScanNet' / 'Stanford 2D3DS', but the shipped dataset
+        # presets are named 'ScanNetDataset' / 'S2D3DSDataset'
+        # (data/config.py:113, 157), so neither valid-mask branch ever fires
+        # in the published training runs.
+        if cfg.dataset.name == "ScanNet":
+            vm = jnp.zeros_like(gt_depths)
+            vm = vm.at[:, 20:-20, 20:-20, :].set(1.0)
+        elif cfg.dataset.name == "Stanford 2D3DS":
+            valid = (gt_depths > 0).astype(jnp.float32)
+            dil = jax.lax.reduce_window(
+                1.0 - valid, 0.0, jax.lax.max,
+                window_dimensions=(1, 5, 5, 1), window_strides=(1, 1, 1, 1),
+                padding=((0, 0), (2, 2), (2, 2), (0, 0)))
+            vm = 1.0 - dil
+        else:
+            vm = None
+        grad = compute_gradient_map(gt_depths, vm)
+        depth_res = cfg.dataset.depth_resolution or 1e-3
+        grad = grad / jnp.maximum(gt_depths, depth_res) ** 2
+        grad = jnp.minimum(grad, 1e-2)
+        grad = jnp.where(grad < 1e-4, 0.0, grad)
+        grad = jax.lax.stop_gradient(grad[..., 0])           # (B, H, W)
+        grad_low = jax.vmap(
+            lambda g: adjoint_resize(g, (hm, wm)))(grad)     # (B, Hm, Wm)
+        grad_low_flat = grad_low.reshape(b, hm * wm)
+        grad_sum = jnp.sum(grad, axis=(1, 2))
+
+    # --- per-level dice + lava accumulation ---
+    dice_sum = 0.0
+    dice_cnt = 0.0
+    lava_dot = jnp.zeros((b,), jnp.float32)
+    lava_cnt = jnp.zeros((b,), jnp.float32)
+    num_ins = 0.0
+    mask_flat = mask_pred.reshape(b, hm * wm, n_k)
+
+    for lvl in range(num_levels):
+        kp = kernel_preds[lvl].astype(jnp.float32).reshape(b, -1, n_k)
+        cells = gt["pos_cells"][lvl]                         # (B, P)
+        insts = gt["pos_insts"][lvl]
+        pvalid = gt["pos_valids"][lvl].astype(jnp.float32)
+
+        k_sel = jnp.take_along_axis(kp, cells[..., None], axis=1)  # (B,P,K)
+        logits = jnp.einsum("bpk,bqk->bpq", k_sel, mask_flat,
+                            preferred_element_type=jnp.float32)    # (B,P,Hm*Wm)
+        probs = jax.nn.sigmoid(logits)
+
+        tgt = jnp.take_along_axis(
+            targets_flat, insts[..., None], axis=1)                # (B,P,Hm*Wm)
+        d = dice_loss(probs, tgt)                                  # (B, P)
+        dice_sum = dice_sum + jnp.sum(d * pvalid)
+        dice_cnt = dice_cnt + jnp.sum(pvalid)
+
+        if need_lava:
+            dots = jnp.einsum("bpq,bq->bp", probs, grad_low_flat)
+            lava_dot = lava_dot + jnp.sum(dots * pvalid, axis=1)
+            lava_cnt = lava_cnt + jnp.sum(pvalid, axis=1)
+
+        num_ins = num_ins + jnp.sum(gt["ins_inds"][lvl].astype(jnp.float32))
+
+    losses["ins"] = cfg.dice_weight * dice_sum / jnp.maximum(dice_cnt, 1.0)
+
+    # --- classification focal loss (reference losses.py:120-140) ---
+    flat_logits = jnp.concatenate(
+        [cp.astype(jnp.float32).reshape(b, -1, cfg.num_classes)
+         for cp in cate_preds], axis=1).reshape(-1, cfg.num_classes)
+    flat_labels = jnp.concatenate(gt["cate_labels"], axis=1).reshape(-1)
+    pos = flat_labels != cfg.num_classes
+    oh = jax.nn.one_hot(jnp.where(pos, flat_labels, 0), cfg.num_classes,
+                        dtype=jnp.float32) * pos[:, None]
+    focal = sigmoid_focal_loss(flat_logits, oh, alpha=cfg.focal_alpha,
+                               gamma=cfg.focal_gamma)
+    losses["cat"] = cfg.focal_weight * jnp.sum(focal) / (num_ins + 1.0)
+
+    # --- point-wise depth loss (reference losses.py:143-149) ---
+    h, w = gt_depths.shape[1], gt_depths.shape[2]
+    depth_up = resize_bilinear(depth_pred, (h, w))           # (B, H, W, 1)
+    min_depth = cfg.dataset.min_depth or 1e-3
+    dvalid = gt_depths > min_depth
+    # NB: the reference's `gt_depths.clamp(max=...)` at losses.py:147 is not
+    # in-place, so no max-clamping actually happens; replicated faithfully.
+    losses["dpt"] = cfg.depth_weight * jnp.mean(
+        rmse_log_loss(depth_up, gt_depths, dvalid))
+
+    # --- plane (VNL) loss (reference losses.py:151-165) ---
+    if cfg.use_plane_loss:
+        k_mats = batch["k_matrix"]                           # (B, 3, 3)
+        planes = batch["plane_paras"]                        # (B, N, 4)
+        rngs = jax.random.split(rng, b)
+        vfn = functools.partial(vnl_loss_single,
+                                num_samples=cfg.vnl_samples)
+        pln = jax.vmap(vfn)(
+            rngs, depth_up[..., 0], gt_masks.astype(bool),
+            planes[..., :3], gt_valid, gt_depths[..., 0], k_mats)
+        losses["pln"] = cfg.pln_weight * jnp.mean(pln)
+
+    # --- lava loss (reference losses.py:169-197) ---
+    if need_lava:
+        contrib = (lava_cnt > 0) & (grad_sum > 0)
+        per_img = lava_dot / jnp.maximum(grad_sum * lava_cnt, 1e-12)
+        n_contrib = jnp.sum(contrib.astype(jnp.float32))
+        lava = jnp.sum(jnp.where(contrib, per_img, 0.0)) / jnp.maximum(
+            n_contrib, 1.0)
+        losses["lav"] = cfg.lava_weight * lava
+
+    return losses

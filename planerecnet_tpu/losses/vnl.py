@@ -1,0 +1,194 @@
+"""Plane-surface-normal (VNL) loss, TPU-native.
+
+Re-designs reference models/functions/vnl.py:6-165 as shape-static jitted
+code. The reference samples ``int(num_mask_pixels * 0.3)`` random point
+triplets per plane with host numpy RNG and variable-length boolean indexing;
+here every plane gets a fixed ``num_samples`` triplets drawn *uniformly over
+the plane's mask pixels* via integer-cumsum inverse-CDF sampling with
+``jax.random`` (exactly matching ``np.random.choice(num, replace=True)``
+sampling semantics, with fixed rather than mask-proportional sample count).
+
+The "hardest 75%" selection (reference vnl.py:135-137: sort ascending, drop
+the first 25%) becomes a descending sort + static prefix mask.
+
+Divergences from the reference (deliberate):
+  * fixed sample count per plane instead of 0.3 * mask-area (same
+    expectation, different variance);
+  * a plane whose mask yields zero valid triplets contributes 0 instead of
+    NaN (the reference produces 0/0 and relies on the trainer's
+    skip-non-finite-step guard, train.py:352-354);
+  * ``pw_pred[pw_pred[:, 2, :] == 0] = 0.0001`` (vnl.py:154) — which due to a
+    dimension mix-up overwrites coordinate *rows*, not points — is replaced
+    by the intended z-clamp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_mask_indices(rng: jax.Array, mask_flat: jnp.ndarray,
+                         shape: Tuple[int, ...]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniformly sample flat pixel indices from a boolean mask, with
+    replacement. Returns (indices, ok) where ok=False if the mask is empty."""
+    counts = jnp.cumsum(mask_flat.astype(jnp.int32))
+    total = counts[-1]
+    ok = total > 0
+    # u ~ Uniform{1..total}; searchsorted finds the u-th set pixel.
+    u = jax.random.randint(rng, shape, 1, jnp.maximum(total, 1) + 1)
+    idx = jnp.searchsorted(counts, u, side="left")
+    return jnp.minimum(idx, mask_flat.shape[0] - 1), ok
+
+
+def _form_triplets(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather (M, 3pts, 3xyz) triplets from (P, 3) points and (3, M) ids,
+    transposed to the reference's [M, 3(xyz), 3(p1,p2,p3)] layout
+    (vnl.py:57-74)."""
+    pw = points[idx]                       # (3, M, 3xyz)
+    return jnp.transpose(pw, (1, 2, 0))    # (M, 3xyz, 3pts)
+
+
+def _filter_mask(pw: jnp.ndarray, delta_z: float,
+                 delta_cos: float = 0.985,
+                 delta_diff: float = 0.005) -> jnp.ndarray:
+    """Triplet validity filter (reference vnl.py:76-104).
+
+    ``pw``: (M, 3xyz, 3pts). Rejects triplets that are near-collinear
+    (any pairwise |cos| of difference vectors > delta_cos), have any
+    non-positive/padding depth, or are degenerate-near in all 3 axes.
+    """
+    pw12 = pw[:, :, 1] - pw[:, :, 0]
+    pw13 = pw[:, :, 2] - pw[:, :, 0]
+    pw23 = pw[:, :, 2] - pw[:, :, 1]
+    pw_diff = jnp.stack([pw12, pw13, pw23], axis=2)          # (M, 3xyz, 3)
+
+    q = jnp.transpose(pw_diff, (0, 2, 1))                    # (M, 3vec, 3xyz)
+    qn = jnp.linalg.norm(q, axis=2)                          # (M, 3)
+    nm = qn[:, :, None] * qn[:, None, :]                     # (M, 3, 3)
+    energy = jnp.einsum("mik,mjk->mij", q, q)
+    norm_energy = energy / (nm + 1e-8)
+    mask_cos = jnp.sum((norm_energy > delta_cos)
+                       | (norm_energy < -delta_cos), axis=(1, 2)) > 3
+
+    mask_pad = jnp.sum(pw[:, 2, :] > delta_z, axis=1) == 3
+
+    near = jnp.abs(pw_diff) < delta_diff                     # (M, 3xyz, 3)
+    mask_x = jnp.any(near[:, 0, :], axis=1)
+    mask_y = jnp.any(near[:, 1, :], axis=1)
+    mask_z = jnp.any(near[:, 2, :], axis=1)
+
+    mask_ignore = (mask_x & mask_y & mask_z) | mask_cos
+    return mask_pad & ~mask_ignore
+
+
+def _normals(pw: jnp.ndarray) -> jnp.ndarray:
+    """Unit normals from (M, 3xyz, 3pts) triplets (reference vnl.py:106-117)."""
+    p12 = pw[:, :, 1] - pw[:, :, 0]
+    p13 = pw[:, :, 2] - pw[:, :, 0]
+    normal = jnp.cross(p12, p13)
+    norm = jnp.linalg.norm(normal, axis=1, keepdims=True)
+    norm = norm + (norm == 0.0).astype(jnp.float32) * 0.01
+    return normal / norm
+
+
+def _hardest75_mean(loss: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Mean of the hardest 75% of valid losses (reference vnl.py:135-139:
+    ascending sort, drop the first 25%, nansum / kept count)."""
+    m = loss.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    keep = n_valid - (n_valid // 4)
+    vals = jnp.where(valid, loss, -jnp.inf)
+    vals = -jnp.sort(-vals)                                  # descending
+    sel = jnp.arange(m) < keep
+    total = jnp.sum(jnp.where(sel & jnp.isfinite(vals), vals, 0.0))
+    return jnp.where(keep > 0, total / jnp.maximum(keep, 1), 0.0)
+
+
+def _point_cloud(depth: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
+                 u0: float, v0: float) -> jnp.ndarray:
+    """Back-project (H, W) depth to (H*W, 3) camera-space points
+    (reference vnl.py:34-41: x=(u-u0)|d|/fx, y=(v-v0)|d|/fy, z=d)."""
+    h, w = depth.shape
+    u = jnp.arange(w, dtype=jnp.float32)[None, :] - u0
+    v = jnp.arange(h, dtype=jnp.float32)[:, None] - v0
+    ad = jnp.abs(depth)
+    x = u * ad / fx
+    y = v * ad / fy
+    return jnp.stack([x, y, depth], axis=-1).reshape(-1, 3)
+
+
+def _cos_abs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    num = jnp.sum(a * b, axis=-1)
+    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    return jnp.abs(num / jnp.maximum(den, 1e-8))
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "delta_z",
+                                             "sample_nonplanar"))
+def vnl_loss_single(rng: jax.Array,
+                    pred_depth: jnp.ndarray,
+                    gt_masks: jnp.ndarray,
+                    plane_normals: jnp.ndarray,
+                    gt_valid: jnp.ndarray,
+                    gt_depth: jnp.ndarray,
+                    k_matrix: jnp.ndarray,
+                    num_samples: int = 512,
+                    delta_z: float = 1e-4,
+                    sample_nonplanar: bool = True) -> jnp.ndarray:
+    """VNL loss for one image (reference VNL_Loss.forward, vnl.py:119-165).
+
+    Args:
+      pred_depth: (H, W) predicted depth at full input resolution.
+      gt_masks:   (N, H, W) bool GT plane masks (padded).
+      plane_normals: (N, 3) GT plane normals.
+      gt_valid:   (N,) instance validity.
+      gt_depth:   (H, W) GT depth.
+      k_matrix:   (3, 3) camera intrinsics.
+    """
+    n, h, w = gt_masks.shape
+    fx = k_matrix[0, 0]
+    fy = k_matrix[1, 1]
+    u0, v0 = w // 2, h // 2
+
+    pred_pc = _point_cloud(pred_depth, fx, fy, u0, v0)        # (H*W, 3)
+    masks_flat = gt_masks.reshape(n, -1)
+
+    def per_plane(rng_i, mask_i, normal_i, valid_i):
+        idx, ok = _sample_mask_indices(rng_i, mask_i, (3, num_samples))
+        pw = _form_triplets(pred_pc, idx)
+        tri_valid = _filter_mask(pw, delta_z) & ok & valid_i
+        dt_normal = _normals(pw)
+        loss = 1.0 - _cos_abs(dt_normal, normal_i[None, :])
+        return _hardest75_mean(loss, tri_valid), ok & valid_i
+
+    rngs = jax.random.split(rng, n + 1)
+    plane_losses, plane_ok = jax.vmap(per_plane)(
+        rngs[:n], masks_flat, plane_normals, gt_valid)
+    n_planes = jnp.sum(plane_ok.astype(jnp.float32))
+    losses_sum = jnp.sum(jnp.where(plane_ok, plane_losses, 0.0))
+
+    if not sample_nonplanar:
+        return losses_sum / jnp.maximum(n_planes, 1.0)
+
+    # Non-planar region: virtual-normal consistency pred vs gt point clouds
+    # (reference vnl.py:141-162).
+    np_mask = ~jnp.any(gt_masks & gt_valid[:, None, None], axis=0).reshape(-1)
+    gt_pc = _point_cloud(gt_depth, fx, fy, u0, v0)
+    idx, np_ok = _sample_mask_indices(rngs[n], np_mask, (3, num_samples))
+    pw_gt = _form_triplets(gt_pc, idx)
+    tri_valid = _filter_mask(pw_gt, delta_z, delta_diff=0.1) & np_ok
+    pw_pred = _form_triplets(pred_pc, idx)
+    z = pw_pred[:, 2, :]
+    pw_pred = pw_pred.at[:, 2, :].set(jnp.where(z == 0, 1e-4, z))
+    gt_normal = _normals(pw_gt)
+    dt_normal = _normals(pw_pred)
+    np_loss = _hardest75_mean(1.0 - _cos_abs(dt_normal, gt_normal), tri_valid)
+
+    has_np = np_ok & (jnp.sum(tri_valid) > 0)
+    with_np = (losses_sum + np_loss) / jnp.maximum(n_planes + 1.0, 1.0)
+    without = losses_sum / jnp.maximum(n_planes, 1.0)
+    return jnp.where(has_np, with_np, without)

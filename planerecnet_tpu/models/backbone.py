@@ -1,0 +1,205 @@
+"""ResNet-50/101 backbone with DCNv2 stages, NHWC / TPU-native.
+
+Re-implements the capability of reference models/backbone.py:76-243
+(torchvision-style bottleneck ResNet returning the C2..C5 feature tuple,
+with per-stage deformable-conv insertion controlled by ``dcn_layers`` /
+``dcn_interval``) as flax modules over the XLA/Pallas deformable conv.
+
+DCN block selection replicates the reference rules exactly
+(backbone.py:170, 184):
+  * first block of a stage:   ``use_dcn = dcn_layers[s] >= blocks``
+  * block i >= 1:             ``use_dcn = (i + dcn_layers[s]) >= blocks
+                                           and i % dcn_interval == 0``
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from planerecnet_tpu.config import BackboneConfig
+from planerecnet_tpu.ops.dcn import deform_conv2d
+
+
+class DeformableConv2d(nn.Module):
+    """DCNv2 block: two plain convs predict offsets (2*k^2 ch) and
+    modulators (k^2 ch, ``2*sigmoid``), offsets clamped to ±max(h,w)/4,
+    feeding the deformable sampling + matmul op
+    (reference models/dcn.py:11-67).
+
+    The offset/modulator convs are zero-initialised so the block starts as
+    an identity-offset regular conv (reference models/dcn.py:32-43).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size * self.kernel_size
+        conv_kw = dict(kernel_size=(self.kernel_size, self.kernel_size),
+                       strides=(self.stride, self.stride),
+                       padding=[(self.padding, self.padding)] * 2)
+        offset = nn.Conv(2 * k, use_bias=True,
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros,
+                         name="offset_conv", **conv_kw)(x)
+        modulator = 2.0 * jax.nn.sigmoid(
+            nn.Conv(k, use_bias=True,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros,
+                    name="modulator_conv", **conv_kw)(x))
+
+        h, w = x.shape[1], x.shape[2]
+        max_offset = max(h, w) / 4.0
+        offset = jnp.clip(offset, -max_offset, max_offset)
+
+        weight = self.param(
+            "regular_conv_kernel",
+            nn.initializers.he_uniform(),
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+            jnp.float32)
+        bias = (self.param("regular_conv_bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return deform_conv2d(x, offset, modulator, weight, bias,
+                             stride=self.stride, padding=self.padding,
+                             kernel_size=self.kernel_size)
+
+
+class Bottleneck(nn.Module):
+    """torchvision-style bottleneck (reference models/backbone.py:5-73)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dilation: int = 1
+    use_dcn: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                      kernel_dilation=(self.dilation, self.dilation),
+                      name="conv1")(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           dtype=jnp.float32, name="bn1")(out)
+        out = nn.relu(out)
+
+        if self.use_dcn:
+            out = DeformableConv2d(self.planes, kernel_size=3,
+                                   stride=self.stride,
+                                   padding=self.dilation, use_bias=True,
+                                   name="conv2")(out)
+        else:
+            out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                          padding=[(self.dilation, self.dilation)] * 2,
+                          kernel_dilation=(self.dilation, self.dilation),
+                          use_bias=False, name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           dtype=jnp.float32, name="bn2")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      kernel_dilation=(self.dilation, self.dilation),
+                      name="conv3")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           dtype=jnp.float32, name="bn3")(out)
+
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               kernel_dilation=(self.dilation,) * 2,
+                               name="downsample_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, dtype=jnp.float32,
+                                    name="downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+def _stage_plan(layers: Sequence[int], dcn_layers: Sequence[int],
+                dcn_interval: int):
+    """Per-stage (planes, blocks, stride, dcn flags) build plan."""
+    plan = []
+    planes = (64, 128, 256, 512)
+    strides = (1, 2, 2, 2)
+    for s, blocks in enumerate(layers):
+        dcn = dcn_layers[s] if s < len(dcn_layers) else 0
+        flags = []
+        for i in range(blocks):
+            if i == 0:
+                flags.append(dcn >= blocks)
+            else:
+                flags.append(((i + dcn) >= blocks) and (i % dcn_interval == 0))
+        plan.append((planes[s] if s < 4 else 512, blocks, strides[s] if s < 4 else 2,
+                     tuple(flags)))
+    return plan
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet backbone returning the tuple of C2..C5(+extra) feature maps.
+
+    ``extra_layers`` appends SSD-style stride-2 bottleneck stages, mirroring
+    reference backbone.py:226-243 (``add_layer`` until
+    ``max(selected_layers)+1`` stages exist). The three shipped presets need
+    exactly the 4 base stages.
+    """
+
+    layers: Tuple[int, ...]
+    dcn_layers: Tuple[int, ...] = (0, 0, 0, 0)
+    dcn_interval: int = 1
+    extra_layers: int = 0
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        base = (256, 512, 1024, 2048)
+        return base + tuple(1024 for _ in range(self.extra_layers))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1) pads with -inf.
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        outs = []
+        inplanes = 64
+        plan = _stage_plan(self.layers, self.dcn_layers, self.dcn_interval)
+        for s, (planes, blocks, stride, dcn_flags) in enumerate(plan):
+            for i in range(blocks):
+                if i == 0:
+                    has_ds = stride != 1 or inplanes != planes * 4
+                    x = Bottleneck(planes, stride=stride, has_downsample=has_ds,
+                                   use_dcn=dcn_flags[i],
+                                   name=f"layer{s}_{i}")(x, train=train)
+                    inplanes = planes * 4
+                else:
+                    x = Bottleneck(planes, use_dcn=dcn_flags[i],
+                                   name=f"layer{s}_{i}")(x, train=train)
+            outs.append(x)
+
+        for e in range(self.extra_layers):
+            x = Bottleneck(256, stride=2, has_downsample=True,
+                           name=f"extra{e}_0")(x, train=train)
+            outs.append(x)
+        return tuple(outs)
+
+
+def construct_backbone(cfg: BackboneConfig) -> ResNetBackbone:
+    """Build a backbone from a config (reference backbone.py:233-243)."""
+    num_layers = max(cfg.selected_layers) + 1
+    extra = max(0, num_layers - len(cfg.layers))
+    return ResNetBackbone(layers=tuple(cfg.layers),
+                          dcn_layers=tuple(cfg.dcn_layers),
+                          dcn_interval=cfg.dcn_interval,
+                          extra_layers=extra)

@@ -1,0 +1,197 @@
+"""Shape-static inference post-processing.
+
+TPU re-design of the reference's per-image dynamic pipeline
+(reference planerecnet.py:155-289, ``inference`` / ``inference_single_image``):
+score-threshold -> dynamic-conv mask assembly -> area filter -> maskness
+rescore -> top-``nms_pre`` -> matrix/mask NMS -> ``update_thr`` filter ->
+top-``top_k`` -> resize -> binarise -> boxes-from-masks.
+
+Every stage here operates on a fixed candidate capacity
+(``cfg.solov2.max_candidates``, default 512 >= nms_pre=500) with validity
+masks, so the whole pipeline jits once and vmaps over the batch. Semantics
+match the reference exactly whenever at most ``max_candidates`` cells pass
+the initial score threshold (overwhelmingly the case at score_thr=0.1);
+beyond that the lowest-scoring overflow candidates are dropped early instead
+of after mask scoring.
+
+The per-mask ``torch.where`` box loop (reference planerecnet.py:282-287)
+becomes a masked min/max reduction over coordinate grids.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planerecnet_tpu.config import PlaneRecNetConfig
+from planerecnet_tpu.ops.image import resize_bilinear
+from planerecnet_tpu.ops.nms import mask_nms, matrix_nms, point_nms
+
+
+def flat_strides(num_grids: Sequence[int],
+                 strides: Sequence[int]) -> np.ndarray:
+    """Per-grid-cell stride vector over all levels
+    (reference planerecnet.py:200-207)."""
+    out = []
+    for s, stride in zip(num_grids, strides):
+        out.append(np.full(s * s, stride, dtype=np.float32))
+    return np.concatenate(out)
+
+
+def _masked_topk_desc(scores: jnp.ndarray, valid: jnp.ndarray, k: int):
+    """Indices of the top-k validity-masked scores, descending."""
+    masked = jnp.where(valid, scores, -jnp.inf)
+    top, idx = jax.lax.top_k(masked, k)
+    return idx, jnp.isfinite(top)
+
+
+def postprocess_single(cate_scores_flat: jnp.ndarray,
+                       kernels_flat: jnp.ndarray,
+                       mask_feat: jnp.ndarray,
+                       depth_pred: jnp.ndarray,
+                       cfg: PlaneRecNetConfig,
+                       ori_size: Tuple[int, int],
+                       num_levels: int | None = None) -> Dict[str, jnp.ndarray]:
+    """Post-process one image's predictions.
+
+    Args:
+      cate_scores_flat: (N_cells, num_classes) point-NMS'd sigmoid scores,
+        all levels concatenated row-major (N_cells = sum S_l^2).
+      kernels_flat: (N_cells, num_kernels).
+      mask_feat: (Hm, Wm, num_kernels) mask features (1/4 input scale).
+      depth_pred: (Hd, Wd, 1) softplus depth (1/2 input scale).
+      cfg: model config (static).
+      ori_size: (H, W) output size (static).
+
+    Returns fixed-shape dict:
+      pred_masks  (top_k, H, W) bool
+      pred_scores (top_k,)
+      pred_classes(top_k,) int32
+      pred_boxes  (top_k, 4) xyxy float
+      pred_valid  (top_k,) bool
+      pred_depth  (H, W) float
+    """
+    sv = cfg.solov2
+    cap = sv.max_candidates
+    n_cells, n_cls = cate_scores_flat.shape
+    hm, wm, n_k = mask_feat.shape
+
+    depth = resize_bilinear(depth_pred[None], ori_size)[0, :, :, 0]
+
+    # --- candidate extraction (reference planerecnet.py:189-197) ---
+    scores_all = cate_scores_flat.reshape(-1)               # (N_cells*n_cls,)
+    cell_ids = jnp.repeat(jnp.arange(n_cells), n_cls)
+    class_ids = jnp.tile(jnp.arange(n_cls), n_cells)
+    valid0 = scores_all > sv.score_thr
+
+    idx, valid = _masked_topk_desc(scores_all, valid0, cap)
+    scores = scores_all[idx]
+    labels = class_ids[idx]
+    cells = cell_ids[idx]
+    nl = num_levels if num_levels is not None else len(sv.num_grids)
+    strides = jnp.asarray(
+        flat_strides(sv.num_grids[:nl], sv.fpn_instance_strides[:nl]))[cells]
+
+    # --- dynamic-conv mask assembly: one (cap, K) @ (K, Hm*Wm) matmul ---
+    kernels = kernels_flat[cells]                           # (cap, K)
+    seg_logits = jnp.dot(kernels,
+                         mask_feat.reshape(-1, n_k).T,
+                         preferred_element_type=jnp.float32)  # (cap, Hm*Wm)
+    seg_sig = jax.nn.sigmoid(seg_logits)
+    seg_bin = seg_sig > sv.mask_thr
+    sum_masks = jnp.sum(seg_bin, axis=1).astype(jnp.float32)
+
+    # Stride-based min-area filter (reference planerecnet.py:216-222).
+    valid = valid & (sum_masks > strides)
+
+    # Maskness rescoring (reference planerecnet.py:231-232).
+    maskness = jnp.sum(seg_sig * seg_bin, axis=1) / jnp.maximum(sum_masks, 1.0)
+    scores = scores * maskness
+
+    # Sort by rescored score, keep top nms_pre (reference 234-242).
+    order, _ = _masked_topk_desc(scores, valid, cap)
+    scores = scores[order]
+    labels = labels[order]
+    seg_sig = seg_sig[order]
+    seg_bin = seg_bin[order]
+    sum_masks = sum_masks[order]
+    valid = valid[order]
+    if sv.nms_pre < cap:
+        valid = valid & (jnp.arange(cap) < sv.nms_pre)
+
+    # --- NMS (reference 244-254) ---
+    if sv.nms_type == "matrix":
+        scores = matrix_nms(labels, seg_bin, sum_masks, scores, valid,
+                            sigma=sv.nms_sigma, kernel=sv.nms_kernel)
+        valid = valid & (scores >= sv.update_thr)
+    elif sv.nms_type == "mask":
+        valid = mask_nms(labels, seg_bin, sum_masks, scores, valid,
+                         nms_thr=sv.mask_thr)
+    else:
+        raise NotImplementedError(sv.nms_type)
+
+    # Final top-k (reference 263-269).
+    order, ok = _masked_topk_desc(scores, valid, sv.top_k)
+    scores = scores[order]
+    labels = labels[order]
+    seg_sig = seg_sig[order]
+    valid = valid[order] & ok
+
+    # Resize soft masks to the input size, binarise (reference 271-275).
+    masks = resize_bilinear(seg_sig.reshape(-1, hm, wm, 1), ori_size)
+    masks = masks[..., 0] > sv.mask_thr                     # (top_k, H, W)
+    masks = masks & valid[:, None, None]
+
+    # Boxes from mask extents, vectorised (reference 282-287).
+    h, w = ori_size
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    big = jnp.float32(1e9)
+    x_min = jnp.min(jnp.where(masks, xs, big), axis=(1, 2))
+    y_min = jnp.min(jnp.where(masks, ys, big), axis=(1, 2))
+    x_max = jnp.max(jnp.where(masks, xs, -big), axis=(1, 2))
+    y_max = jnp.max(jnp.where(masks, ys, -big), axis=(1, 2))
+    boxes = jnp.stack([x_min, y_min, x_max, y_max], axis=-1)
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+
+    return {
+        "pred_masks": masks,
+        "pred_scores": jnp.where(valid, scores, 0.0),
+        "pred_classes": labels.astype(jnp.int32),
+        "pred_boxes": boxes,
+        "pred_valid": valid,
+        "pred_depth": depth,
+    }
+
+
+def flatten_level_preds(cate_preds: Sequence[jnp.ndarray],
+                        kernel_preds: Sequence[jnp.ndarray],
+                        num_classes: int, num_kernels: int):
+    """Apply point-NMS per level and flatten to (B, N_cells, C)/(B, N_cells, K)
+    (reference planerecnet.py:104-111 + 167-174)."""
+    b = cate_preds[0].shape[0]
+    cates, kernels = [], []
+    for cp, kp in zip(cate_preds, kernel_preds):
+        c = point_nms(jax.nn.sigmoid(cp.astype(jnp.float32)), kernel=2)
+        cates.append(c.reshape(b, -1, num_classes))
+        kernels.append(kp.reshape(b, -1, num_kernels))
+    return jnp.concatenate(cates, axis=1), jnp.concatenate(kernels, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ori_size"))
+def postprocess_batch(preds: Dict, cfg: PlaneRecNetConfig,
+                      ori_size: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
+    """Point-NMS + per-image post-processing, vmapped over the batch."""
+    sv = cfg.solov2
+    num_levels = len(preds["cate_preds"])
+    cates, kernels = flatten_level_preds(
+        preds["cate_preds"], preds["kernel_preds"],
+        cfg.num_classes, sv.num_kernels)
+    fn = functools.partial(postprocess_single, cfg=cfg, ori_size=ori_size,
+                           num_levels=num_levels)
+    return jax.vmap(fn)(cates, kernels, preds["mask_pred"],
+                        preds["depth_pred"])

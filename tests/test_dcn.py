@@ -1,0 +1,107 @@
+"""Deformable conv tests against a slow, independent numpy reference.
+
+The numpy oracle implements the published DCNv2 semantics (zero out-of-bounds
+bilinear sampling, per-tap modulation) with plain python loops.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from planerecnet_tpu.ops.dcn import deform_conv2d
+
+
+def numpy_deform_conv2d(x, offset, mask, weight, bias, stride, padding):
+    """Slow loop oracle. x: (B,H,W,C); offset: (B,Ho,Wo,2K); mask: (B,Ho,Wo,K);
+    weight: (kh,kw,Cin,Cout)."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    _, ho, wo, _ = offset.shape
+    out = np.zeros((b, ho, wo, cout), np.float64)
+
+    def sample(img, y, xq):
+        y0, x0 = int(np.floor(y)), int(np.floor(xq))
+        fy, fx = y - y0, xq - x0
+        val = np.zeros(cin, np.float64)
+        for dy, wy in ((0, 1 - fy), (1, fy)):
+            for dx, wx in ((0, 1 - fx), (1, fx)):
+                yy, xx = y0 + dy, x0 + dx
+                if 0 <= yy < h and 0 <= xx < w:
+                    val += wy * wx * img[yy, xx]
+        return val
+
+    for bi in range(b):
+        for i in range(ho):
+            for j in range(wo):
+                acc = np.zeros(cout, np.float64)
+                for ki in range(kh):
+                    for kj in range(kw):
+                        k = ki * kw + kj
+                        dy = offset[bi, i, j, 2 * k]
+                        dx = offset[bi, i, j, 2 * k + 1]
+                        y = i * stride - padding + ki + dy
+                        xq = j * stride - padding + kj + dx
+                        v = sample(x[bi], y, xq) * mask[bi, i, j, k]
+                        acc += v @ weight[ki, kj]
+                out[bi, i, j] = acc + (bias if bias is not None else 0)
+    return out.astype(np.float32)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_deform_conv_matches_numpy(stride):
+    rng = np.random.RandomState(0)
+    b, h, w, cin, cout = 2, 7, 9, 4, 6
+    ho = (h + 2 - 3) // stride + 1
+    wo = (w + 2 - 3) // stride + 1
+    x = rng.randn(b, h, w, cin).astype(np.float32)
+    offset = (rng.randn(b, ho, wo, 18) * 2).astype(np.float32)
+    mask = rng.rand(b, ho, wo, 9).astype(np.float32) * 2
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1
+    bias = rng.randn(cout).astype(np.float32)
+
+    got = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias),
+        stride=stride, padding=1, kernel_size=3))
+    want = numpy_deform_conv2d(x, offset, mask, weight, bias, stride, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_zero_offset_equals_regular_conv():
+    """With zero offsets and unit modulators, DCN == plain 3x3 conv
+    (the reference zero-inits offset/modulator so DCN starts as a regular
+    conv, models/dcn.py:32-43 — modulo the 2*sigmoid(0)=1 factor)."""
+    rng = np.random.RandomState(1)
+    b, h, w, cin, cout = 1, 8, 8, 3, 5
+    x = rng.randn(b, h, w, cin).astype(np.float32)
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1
+    offset = np.zeros((b, h, w, 18), np.float32)
+    mask = np.ones((b, h, w, 9), np.float32)
+
+    got = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), None, stride=1, padding=1))
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(weight),
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_deform_conv_grads_flow():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 6, 6, 3).astype(np.float32))
+    offset = jnp.asarray(rng.randn(1, 6, 6, 18).astype(np.float32) * 0.5)
+    mask = jnp.asarray(rng.rand(1, 6, 6, 9).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32) * 0.1)
+
+    def loss(x, offset, mask, weight):
+        return jnp.sum(deform_conv2d(x, offset, mask, weight, None,
+                                     stride=1, padding=1) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, offset, mask, weight)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.abs(np.asarray(g)).sum() > 0

@@ -1,0 +1,120 @@
+"""NMS op tests against independent numpy oracles."""
+
+import numpy as np
+
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from planerecnet_tpu.ops.nms import mask_nms, matrix_nms, point_nms
+
+
+def test_point_nms_matches_torch_semantics():
+    """The reference gate: max_pool2d(k=2, s=1, p=1) crop [:-1, :-1]
+    (reference nms.py:8-12)."""
+    rng = np.random.RandomState(0)
+    heat = rng.rand(2, 12, 12, 3).astype(np.float32)
+    got = np.asarray(point_nms(jnp.asarray(heat)))
+
+    t = torch.from_numpy(heat).permute(0, 3, 1, 2)
+    hmax = F.max_pool2d(t, (2, 2), stride=1, padding=1)
+    keep = (hmax[:, :, :-1, :-1] == t).float()
+    want = (t * keep).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _numpy_matrix_nms(labels, masks, sums, scores, sigma, kernel):
+    n = len(labels)
+    m = masks.reshape(n, -1).astype(np.float64)
+    inter = m @ m.T
+    union = sums[None, :] + sums[:, None] - inter
+    iou = np.triu(inter / union, k=1)
+    lm = np.triu((labels[None, :] == labels[:, None]).astype(np.float64), k=1)
+    decay_iou = iou * lm
+    comp = (decay_iou).max(0)
+    if kernel == "gaussian":
+        decay = np.exp(-sigma * decay_iou ** 2)
+        compm = np.exp(-sigma * comp[:, None] ** 2)
+        coeff = (decay / compm).min(0)
+    else:
+        coeff = ((1 - decay_iou) / (1 - comp[:, None])).min(0)
+    return scores * coeff
+
+
+def test_matrix_nms_matches_oracle():
+    rng = np.random.RandomState(1)
+    n, hw = 16, 64
+    masks = (rng.rand(n, hw) > 0.5).astype(np.float32)
+    sums = masks.sum(1)
+    sums[sums == 0] = 1
+    masks[sums == 0] = 0
+    scores = rng.rand(n).astype(np.float32)
+    labels = rng.randint(0, 2, size=n)
+
+    for kernel in ("gaussian", "linear"):
+        want = _numpy_matrix_nms(labels, masks, sums, scores, 2.0, kernel)
+        got = np.asarray(matrix_nms(
+            jnp.asarray(labels), jnp.asarray(masks), jnp.asarray(sums),
+            jnp.asarray(scores), jnp.ones(n, bool), sigma=2.0, kernel=kernel))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_matrix_nms_padding_invariance():
+    """Appending invalid slots must not change valid slots' scores."""
+    rng = np.random.RandomState(2)
+    n, hw, pad = 8, 32, 8
+    masks = (rng.rand(n, hw) > 0.4).astype(np.float32)
+    sums = np.maximum(masks.sum(1), 1)
+    scores = rng.rand(n).astype(np.float32)
+    labels = np.ones(n, np.int32)
+
+    base = np.asarray(matrix_nms(
+        jnp.asarray(labels), jnp.asarray(masks), jnp.asarray(sums),
+        jnp.asarray(scores), jnp.ones(n, bool)))
+
+    masks_p = np.concatenate([masks, rng.rand(pad, hw) > 0.5]).astype(np.float32)
+    sums_p = np.concatenate([sums, np.maximum(masks_p[n:].sum(1), 1)])
+    scores_p = np.concatenate([scores, rng.rand(pad).astype(np.float32)])
+    labels_p = np.concatenate([labels, np.ones(pad, np.int32)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+
+    got = np.asarray(matrix_nms(
+        jnp.asarray(labels_p), jnp.asarray(masks_p), jnp.asarray(sums_p),
+        jnp.asarray(scores_p), jnp.asarray(valid)))
+    np.testing.assert_allclose(got[:n], base, rtol=1e-5)
+    assert (got[n:] == 0).all()
+
+
+def _numpy_mask_nms(labels, masks, sums, scores, thr):
+    n = len(scores)
+    keep = np.ones(n, bool)
+    m = masks.astype(np.float64)
+    for i in range(n - 1):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if not keep[j] or labels[i] != labels[j]:
+                continue
+            inter = (m[i] * m[j]).sum()
+            union = sums[i] + sums[j] - inter
+            if union > 0:
+                if inter / union > thr:
+                    keep[j] = False
+            else:
+                keep[j] = False
+    return keep
+
+
+def test_mask_nms_matches_oracle():
+    rng = np.random.RandomState(3)
+    n, hw = 20, 48
+    masks = (rng.rand(n, hw) > 0.6).astype(np.float32)
+    sums = masks.sum(1)
+    scores = np.sort(rng.rand(n).astype(np.float32))[::-1].copy()
+    labels = rng.randint(0, 2, size=n)
+
+    want = _numpy_mask_nms(labels, masks, sums, scores, 0.3)
+    got = np.asarray(mask_nms(
+        jnp.asarray(labels), jnp.asarray(masks), jnp.asarray(sums),
+        jnp.asarray(scores), jnp.ones(n, bool), nms_thr=0.3))
+    np.testing.assert_array_equal(got, want)
