@@ -1,0 +1,154 @@
+"""PlaneRecNet-TPU evaluation CLI (reference eval.py:372-426 surface).
+
+Computes mask/box mAP (greedy matching, COCO-style 101-point interpolation)
+and the eight depth metrics over an annotation split, plus per-image FPS with
+the first two frames excluded as compile warmup.
+"""
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+from planerecnet_tpu.config import set_cfg, set_dataset
+from planerecnet_tpu.data import BaseTransform, build_dataset
+from planerecnet_tpu.evaluation import (DEPTH_METRICS, calc_map,
+                                        compute_depth_metrics,
+                                        compute_segmentation_metrics,
+                                        make_ap_data)
+from planerecnet_tpu.runner import PlaneRecNetRunner
+from planerecnet_tpu.utils import MovingAverage, ProgressBar, SavePath, timer
+
+args = None
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="PlaneRecNet Evaluation")
+    parser.add_argument("--trained_model", default=None, type=str,
+                        help='Weights to evaluate ("interrupt"/"latest" '
+                             "resolve from weights/).")
+    parser.add_argument("--config", default=None,
+                        help="Config name; parsed from the model file name "
+                             "when omitted.")
+    parser.add_argument("--dataset", default=None, type=str)
+    parser.add_argument("--max_images", default=-1, type=int)
+    parser.add_argument("--no_bar", action="store_true")
+    parser.add_argument("--top_k", default=100, type=int)
+    parser.add_argument("--nms_mode", default="matrix", type=str,
+                        choices=["matrix", "mask"])
+    parser.add_argument("--score_threshold", default=0.1, type=float)
+    parser.add_argument("--seed", default=None, type=int)
+    global args
+    args = parser.parse_args(argv)
+    return args
+
+
+def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
+             eval_nums=-1, no_bar=False):
+    """Main eval loop (reference eval.py:63-130). Returns (all_maps, depth
+    metric means)."""
+    frame_times = MovingAverage()
+    eval_nums = len(dataset) - 1 if eval_nums < 0 else min(eval_nums,
+                                                           len(dataset))
+    progress_bar = ProgressBar(30, max(eval_nums, 1))
+    print()
+
+    dataset_indices = list(range(len(dataset)))
+    random.shuffle(dataset_indices)
+    dataset_indices = dataset_indices[:eval_nums]
+
+    infos = []
+    ap_data = make_ap_data()
+
+    for it, image_idx in enumerate(dataset_indices):
+        timer.reset()
+        with timer.env("everything"):
+            image, gt_instances, gt_depth = dataset.pull_item(image_idx)
+            # BaseTransform already normalised the image; run the raw
+            # forward + post-process path on it.
+            import jax
+            import jax.numpy as jnp
+            from planerecnet_tpu.ops.postprocess import postprocess_batch
+
+            x = jnp.asarray(image[None])
+            preds = net.model.apply(net.variables, x, train=False)
+            h, w = image.shape[:2]
+            batched = postprocess_batch(preds, net.cfg, (h, w))
+            jax.block_until_ready(batched)
+
+        valid = np.asarray(batched["pred_valid"][0])
+        pred_depth = np.asarray(batched["pred_depth"][0])
+        depth_err = compute_depth_metrics(
+            pred_depth, gt_depth[..., 0], net.cfg, median_scaling=True)
+        infos.append(depth_err)
+
+        if valid.any():
+            pred_masks = np.asarray(batched["pred_masks"][0])[valid]
+            pred_boxes = np.asarray(batched["pred_boxes"][0])[valid]
+            pred_classes = np.asarray(batched["pred_classes"][0])[valid]
+            pred_scores = np.asarray(batched["pred_scores"][0])[valid]
+            compute_segmentation_metrics(
+                ap_data, gt_instances["masks"], gt_instances["boxes"],
+                gt_instances["classes"], pred_masks, pred_boxes,
+                pred_classes, pred_scores)
+
+        if it > 1:
+            frame_times.add(timer.total_time() * 1000)
+        if not no_bar:
+            fps = 1000 / frame_times.get_avg() if it > 1 and len(
+                frame_times) else 0
+            progress = (it + 1) / max(eval_nums, 1) * 100
+            progress_bar.set_val(it + 1)
+            print("\rProcessing Images  %s %6d / %6d (%5.2f%%)  %5.2f fps  "
+                  % (repr(progress_bar), it + 1, eval_nums, progress, fps),
+                  end="")
+
+    all_maps = calc_map(ap_data)
+    infos = np.asarray(infos, dtype=np.double)
+    means = infos.sum(axis=0) / max(infos.shape[0], 1)
+    print("\nDepth Metrics:")
+    print(", ".join(f"{k}: {v:.5f}" for k, v in zip(DEPTH_METRICS, means)))
+    return all_maps, means
+
+
+def main(argv=None):
+    parse_args(argv)
+    if args.seed is not None:
+        random.seed(args.seed)
+
+    if args.config is not None:
+        cfg = set_cfg(args.config)
+    if args.trained_model == "interrupt":
+        args.trained_model = SavePath.get_interrupt("weights/")
+    elif args.trained_model == "latest":
+        args.trained_model = SavePath.get_latest(
+            "weights/", set_cfg(args.config).name if args.config else "")
+    if args.config is None:
+        model_path = SavePath.from_str(args.trained_model)
+        args.config = model_path.model_name + "_config"
+        print("Config not specified. Parsed %s from the file name.\n"
+              % args.config)
+    cfg = set_cfg(args.config)
+    if args.dataset is not None:
+        cfg = set_dataset(cfg, args.dataset)
+
+    cfg = cfg.copy(dict(solov2=cfg.solov2.copy(dict(
+        nms_type=args.nms_mode,
+        score_thr=args.score_threshold,
+        top_k=args.top_k,
+    ))))
+
+    os.makedirs("results", exist_ok=True)
+    dataset = build_dataset(cfg, "eval", transform=BaseTransform(cfg))
+    print("Loading model...", end="")
+    net = PlaneRecNetRunner(cfg)
+    if args.trained_model:
+        net.load_weights(args.trained_model)
+    print("done.")
+
+    evaluate(net, dataset, eval_nums=args.max_images, no_bar=args.no_bar)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+from planerecnet_tpu.data.coco import COCO, mask_to_rle, polygons_to_mask, rle_to_mask  # noqa: F401
+from planerecnet_tpu.data.datasets import (  # noqa: F401
+    DATASET_CLASSES,
+    BatchIterator,
+    NYUDataset,
+    PlaneAnnoDataset,
+    S2D3DSDataset,
+    ScanNetDataset,
+    build_dataset,
+    collate_batch,
+    pad_instances,
+)
+from planerecnet_tpu.data.augmentations import (  # noqa: F401
+    BaseTransform,
+    SSDAugmentation,
+)

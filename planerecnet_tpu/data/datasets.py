@@ -1,0 +1,270 @@
+"""COCO-format plane datasets and the fixed-capacity TPU batcher.
+
+Re-implements reference data/datasets.py:21-316: COCO-json annotations
+extended with ``plane_paras`` and camera intrinsics, per-dataset path
+conventions (ScanNet / NYU / Stanford-2D3DS), 16-bit depth PNG loading with
+``depth_resolution`` scaling, and empty-GT resampling.
+
+TPU divergence: instead of the reference's variable-length list collate
+(``detection_collate``, datasets.py:250-273), instances are padded to
+``cfg.max_instances`` with a validity mask so a whole batch is one dict of
+fixed-shape arrays — the shape the jitted train step consumes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from planerecnet_tpu.config import PlaneRecNetConfig
+from planerecnet_tpu.data.coco import COCO
+
+
+def get_label_map(cfg: PlaneRecNetConfig) -> Dict[int, int]:
+    """Reference data/datasets.py:15-19 (PLANE_LABEL_MAP = {1: 1})."""
+    return {1: 1}
+
+
+class PlaneAnnoDataset:
+    """Base reader: RGB image + 16-bit depth PNG + COCO instance anns with
+    plane parameters and intrinsics (reference datasets.py:21-117)."""
+
+    def __init__(self, cfg: PlaneRecNetConfig, image_path: str,
+                 anno_file: str, transform=None, dataset_name: str = None,
+                 has_gt: bool = True, has_pos: bool = True):
+        self.cfg = cfg
+        self.root = image_path
+        self.coco = COCO(anno_file)
+        self.ids = list(self.coco.imgToAnns.keys())
+        if len(self.ids) == 0 or not has_gt:
+            self.ids = list(self.coco.imgs.keys())
+        self.transform = transform
+        self.name = dataset_name
+        self.has_gt = has_gt
+        self.has_pos = has_pos
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __getitem__(self, index: int):
+        return self.pull_item(index)
+
+    # -- path conventions overridden per dataset --
+    def get_depth_path(self, rgb_file_name: str) -> str:
+        raise NotImplementedError
+
+    def get_camera_matrix(self, rgb_file_name: str) -> np.ndarray:
+        raise NotImplementedError
+
+    def get_plane_para(self, target: List[Dict]) -> List[List[float]]:
+        return [[obj["plane_paras"][i] for i in range(4)] for obj in target]
+
+    def pull_item(self, index: int):
+        """Returns (HWC float image, instances dict, HxWx1 depth in metres)
+        (reference datasets.py:52-117, channel-last instead of CHW)."""
+        cfg = self.cfg
+        img_id = self.ids[index]
+        if self.has_gt:
+            target = [a for a in self.coco.loadAnns(
+                self.coco.getAnnIds(imgIds=img_id))
+                if a["image_id"] == img_id]
+        else:
+            target = []
+        file_name = self.coco.loadImgs(img_id)[0]["file_name"]
+        path = osp.join(self.root, file_name)
+        assert osp.exists(path), f"Image path does not exist: {path}"
+        img = cv2.imread(path).astype(np.float32)
+        height, width, _ = img.shape
+
+        depth = cv2.imread(self.get_depth_path(file_name),
+                           cv2.IMREAD_UNCHANGED).astype(np.float32)
+
+        if self.has_pos:
+            k_matrix = self.get_camera_matrix(file_name)
+            s = cfg.dataset.scale_factor
+            scale = np.asarray([[s, 0, s], [0, s, s], [0, 0, 1]])
+            k_matrix = scale * k_matrix
+        else:
+            k_matrix = np.zeros((3, 3))
+
+        masks = boxes = labels = plane_paras = None
+        if len(target) > 0:
+            masks = np.stack([self.coco.annToMask(o) for o in target]
+                             ).reshape(-1, height, width)
+            boxes = np.array([[o["bbox"][0], o["bbox"][1],
+                               o["bbox"][0] + o["bbox"][2],
+                               o["bbox"][1] + o["bbox"][3]] for o in target],
+                             np.float32)
+            lm = get_label_map(cfg)
+            labels = np.array([lm[o["category_id"]] - 1 for o in target])
+            if cfg.dataset.has_pos:
+                plane_paras = np.array(self.get_plane_para(target),
+                                       np.float32)
+            else:
+                plane_paras = np.zeros((len(target), 4), np.float32)
+
+        if self.transform is not None and len(target) > 0:
+            img, depth, masks, boxes, labels, plane_paras = self.transform(
+                img, depth, masks, boxes, labels, plane_paras)
+
+        if masks is None or len(masks) == 0:
+            # Empty-GT resample (reference datasets.py:112-115).
+            return self.pull_item(np.random.randint(0, len(self.ids)))
+
+        instances = {
+            "masks": masks.astype(np.float32),
+            "boxes": boxes.astype(np.float32),
+            "classes": labels.astype(np.int32),
+            "plane_paras": plane_paras.astype(np.float32),
+            "k_matrix": k_matrix.astype(np.float32),
+        }
+        depth_m = depth[..., None] * (cfg.dataset.depth_resolution or 1.0)
+        return img.astype(np.float32), instances, depth_m.astype(np.float32)
+
+
+class ScanNetDataset(PlaneAnnoDataset):
+    """ScanNet path conventions (reference datasets.py:181-207)."""
+
+    def get_depth_path(self, rgb_file_name: str) -> str:
+        name = rgb_file_name.replace("color", "depth").replace(".jpg", ".png")
+        return osp.join(self.root, name)
+
+    def get_camera_matrix(self, rgb_file_name: str) -> np.ndarray:
+        sens = rgb_file_name.split("/")[0]
+        pose_path = os.path.join(self.root, sens, "frame", "intrinsic",
+                                 sens + ".txt")
+        with open(pose_path) as f:
+            lines = f.readlines()
+        words = lines[9].split(" ")
+        return np.asarray([float(words[i]) for i in range(2, 18)]
+                          ).reshape(4, 4)[:3, :3]
+
+
+class NYUDataset(PlaneAnnoDataset):
+    """NYU depth path convention (reference datasets.py:210-220)."""
+
+    def get_depth_path(self, rgb_file_name: str) -> str:
+        root = self.root.replace("images", "depths")
+        return osp.join(root, rgb_file_name.replace(".jpg", ".png"))
+
+
+class S2D3DSDataset(PlaneAnnoDataset):
+    """Stanford 2D-3D-S conventions (reference datasets.py:223-247)."""
+
+    def get_depth_path(self, rgb_file_name: str) -> str:
+        root = self.root.replace("images", "depths")
+        name = rgb_file_name.replace("rgb", "depth").replace(".jpg", ".png")
+        return osp.join(root, name)
+
+    def get_camera_matrix(self, rgb_file_name: str) -> np.ndarray:
+        root = self.root.replace("images_val", "poses").replace(
+            "images", "poses")
+        name = rgb_file_name.replace("rgb", "pose").replace(".jpg", ".json")
+        with open(os.path.join(root, name)) as f:
+            pose = json.load(f)
+        return np.asarray(pose["camera_k_matrix"])
+
+    def get_plane_para(self, target: List[Dict]) -> List[List[float]]:
+        return [[o["plane_paras"][i] for i in range(6)] for o in target]
+
+
+DATASET_CLASSES = {
+    "PlaneAnnoDataset": PlaneAnnoDataset,
+    "ScanNetDataset": ScanNetDataset,
+    "NYUDataset": NYUDataset,
+    "S2D3DSDataset": S2D3DSDataset,
+}
+
+
+def build_dataset(cfg: PlaneRecNetConfig, split: str = "train",
+                  transform=None) -> PlaneAnnoDataset:
+    """Registry-based constructor replacing the reference's
+    ``eval(cfg.dataset.name)`` (reference train.py:220-222)."""
+    d = cfg.dataset
+    paths = {
+        "train": (d.train_images, d.train_info),
+        "valid": (d.valid_images, d.valid_info),
+        "eval": (d.eval_images, d.eval_info),
+    }[split]
+    cls = DATASET_CLASSES[d.name]
+    return cls(cfg, paths[0], paths[1], transform=transform,
+               dataset_name=d.name, has_gt=d.has_gt, has_pos=d.has_pos)
+
+
+def pad_instances(cfg: PlaneRecNetConfig, instances: Dict,
+                  img_hw: Tuple[int, int]) -> Dict[str, np.ndarray]:
+    """Pad one image's instance dict to ``cfg.max_instances`` slots with a
+    validity mask (the TPU replacement for variable-length GT lists)."""
+    n_cap = cfg.max_instances
+    h, w = img_hw
+    n = min(len(instances["classes"]), n_cap)
+    out = {
+        "masks": np.zeros((n_cap, h, w), np.float32),
+        "boxes": np.zeros((n_cap, 4), np.float32),
+        "classes": np.zeros((n_cap,), np.int32),
+        "plane_paras": np.zeros((n_cap, max(
+            4, instances["plane_paras"].shape[-1]
+            if instances["plane_paras"].ndim == 2 else 4)), np.float32),
+        "gt_valid": np.zeros((n_cap,), bool),
+        "k_matrix": instances["k_matrix"].astype(np.float32),
+    }
+    if n:
+        out["masks"][:n] = instances["masks"][:n]
+        out["boxes"][:n] = instances["boxes"][:n]
+        out["classes"][:n] = instances["classes"][:n]
+        if instances["plane_paras"].ndim == 2 and instances["plane_paras"].size:
+            pp = instances["plane_paras"][:n]
+            out["plane_paras"][:n, :pp.shape[1]] = pp
+        out["gt_valid"][:n] = True
+    return out
+
+
+def collate_batch(cfg: PlaneRecNetConfig, samples: List) -> Dict[str, np.ndarray]:
+    """Stack padded samples into the fixed-shape batch dict consumed by
+    ``compute_losses`` (replaces reference detection_collate,
+    datasets.py:250-273)."""
+    imgs, insts, depths = zip(*samples)
+    h, w = imgs[0].shape[:2]
+    padded = [pad_instances(cfg, i, (h, w)) for i in insts]
+    batch = {
+        "image": np.stack(imgs),
+        "depth": np.stack(depths),
+    }
+    for key in ("masks", "boxes", "classes", "plane_paras", "gt_valid",
+                "k_matrix"):
+        batch[key] = np.stack([p[key] for p in padded])
+    # The loss consumes 4-vector plane params (normal + offset); S2D3DS
+    # stores 6 values, of which the first 4 are used (reference
+    # losses.py:157-160 takes [:, :3] and [:, 3]).
+    batch["plane_paras"] = batch["plane_paras"][:, :, :4]
+    return batch
+
+
+class BatchIterator:
+    """Shuffled epoch iterator yielding fixed-shape batches."""
+
+    def __init__(self, cfg: PlaneRecNetConfig, dataset: PlaneAnnoDataset,
+                 batch_size: int, seed: int = 0, drop_last: bool = True):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.rng.permutation(len(self.dataset))
+        for i in range(0, len(order), self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            samples = [self.dataset[j] for j in idx]
+            yield collate_batch(self.cfg, samples)

@@ -84,7 +84,8 @@ def rmse_log_loss(pred: jnp.ndarray, target: jnp.ndarray,
     l1 = jnp.abs(jnp.log(jnp.maximum(pred, clamp_val))
                  - jnp.log(jnp.maximum(target, clamp_val))) * valid
     mean = jnp.sum(l1 ** 2, axis=1) / jnp.maximum(jnp.sum(valid, axis=1), 1.0)
-    return jnp.sqrt(mean)
+    # +eps keeps the sqrt gradient finite when every pixel is invalid.
+    return jnp.sqrt(mean + 1e-12)
 
 
 def compute_gradient_map(depth: jnp.ndarray,

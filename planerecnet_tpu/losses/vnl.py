@@ -61,6 +61,7 @@ def _filter_mask(pw: jnp.ndarray, delta_z: float,
     (any pairwise |cos| of difference vectors > delta_cos), have any
     non-positive/padding depth, or are degenerate-near in all 3 axes.
     """
+    pw = jax.lax.stop_gradient(pw)  # the filter gates, it never backprops
     pw12 = pw[:, :, 1] - pw[:, :, 0]
     pw13 = pw[:, :, 2] - pw[:, :, 0]
     pw23 = pw[:, :, 2] - pw[:, :, 1]
@@ -85,26 +86,39 @@ def _filter_mask(pw: jnp.ndarray, delta_z: float,
     return mask_pad & ~mask_ignore
 
 
+def _safe_norm(x: jnp.ndarray, axis, keepdims=False,
+               eps: float = 1e-12) -> jnp.ndarray:
+    """Norm with a NaN-free gradient at the zero vector (d||x||/dx at 0 is
+    NaN in plain autodiff, which would poison the whole gradient even on
+    masked-out degenerate triplets — e.g. when sampling-with-replacement
+    draws the same pixel twice)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def _normals(pw: jnp.ndarray) -> jnp.ndarray:
     """Unit normals from (M, 3xyz, 3pts) triplets (reference vnl.py:106-117)."""
     p12 = pw[:, :, 1] - pw[:, :, 0]
     p13 = pw[:, :, 2] - pw[:, :, 0]
     normal = jnp.cross(p12, p13)
-    norm = jnp.linalg.norm(normal, axis=1, keepdims=True)
-    norm = norm + (norm == 0.0).astype(jnp.float32) * 0.01
+    norm = _safe_norm(normal, axis=1, keepdims=True)
+    norm = norm + (norm < 1e-5).astype(jnp.float32) * 0.01
     return normal / norm
 
 
 def _hardest75_mean(loss: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Mean of the hardest 75% of valid losses (reference vnl.py:135-139:
-    ascending sort, drop the first 25%, nansum / kept count)."""
+    ascending sort, drop the first 25%, nansum / kept count).
+
+    Gradient-safe: selection runs on a detached key so autodiff only flows
+    through the gathered (selected) loss values.
+    """
     m = loss.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
     keep = n_valid - (n_valid // 4)
-    vals = jnp.where(valid, loss, -jnp.inf)
-    vals = -jnp.sort(-vals)                                  # descending
-    sel = jnp.arange(m) < keep
-    total = jnp.sum(jnp.where(sel & jnp.isfinite(vals), vals, 0.0))
+    key = jax.lax.stop_gradient(jnp.where(valid, loss, -jnp.float32(1e30)))
+    _, top_idx = jax.lax.top_k(key, m)                       # descending
+    sel = (jnp.arange(m) < keep).astype(loss.dtype)
+    total = jnp.sum(loss[top_idx] * sel)
     return jnp.where(keep > 0, total / jnp.maximum(keep, 1), 0.0)
 
 
@@ -123,7 +137,7 @@ def _point_cloud(depth: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
 
 def _cos_abs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     num = jnp.sum(a * b, axis=-1)
-    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    den = _safe_norm(a, axis=-1) * _safe_norm(b, axis=-1)
     return jnp.abs(num / jnp.maximum(den, 1e-8))
 
 

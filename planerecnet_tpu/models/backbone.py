@@ -39,17 +39,22 @@ class DeformableConv2d(nn.Module):
     stride: int = 1
     padding: int = 1
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size * self.kernel_size
         conv_kw = dict(kernel_size=(self.kernel_size, self.kernel_size),
                        strides=(self.stride, self.stride),
-                       padding=[(self.padding, self.padding)] * 2)
+                       padding=[(self.padding, self.padding)] * 2,
+                       dtype=self.dtype)
+        # Offsets stay f32: sub-pixel sampling positions lose too much
+        # precision in bf16.
         offset = nn.Conv(2 * k, use_bias=True,
                          kernel_init=nn.initializers.zeros,
                          bias_init=nn.initializers.zeros,
-                         name="offset_conv", **conv_kw)(x)
+                         name="offset_conv",
+                         **{**conv_kw, "dtype": None})(x.astype(jnp.float32))
         modulator = 2.0 * jax.nn.sigmoid(
             nn.Conv(k, use_bias=True,
                     kernel_init=nn.initializers.zeros,
@@ -68,6 +73,9 @@ class DeformableConv2d(nn.Module):
         bias = (self.param("regular_conv_bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            weight = weight.astype(self.dtype)
         return deform_conv2d(x, offset, modulator, weight, bias,
                              stride=self.stride, padding=self.padding,
                              kernel_size=self.kernel_size)
@@ -82,13 +90,14 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     use_dcn: bool = False
     expansion: int = 4
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
                       kernel_dilation=(self.dilation, self.dilation),
-                      name="conv1")(x)
+                      dtype=self.dtype, name="conv1")(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            dtype=jnp.float32, name="bn1")(out)
         out = nn.relu(out)
@@ -97,19 +106,20 @@ class Bottleneck(nn.Module):
             out = DeformableConv2d(self.planes, kernel_size=3,
                                    stride=self.stride,
                                    padding=self.dilation, use_bias=True,
-                                   name="conv2")(out)
+                                   dtype=self.dtype, name="conv2")(out)
         else:
             out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
                           padding=[(self.dilation, self.dilation)] * 2,
                           kernel_dilation=(self.dilation, self.dilation),
-                          use_bias=False, name="conv2")(out)
+                          use_bias=False, dtype=self.dtype,
+                          name="conv2")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            dtype=jnp.float32, name="bn2")(out)
         out = nn.relu(out)
 
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       kernel_dilation=(self.dilation, self.dilation),
-                      name="conv3")(out)
+                      dtype=self.dtype, name="conv3")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            dtype=jnp.float32, name="bn3")(out)
 
@@ -117,7 +127,7 @@ class Bottleneck(nn.Module):
             residual = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                kernel_dilation=(self.dilation,) * 2,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
                                     momentum=0.9, dtype=jnp.float32,
                                     name="downsample_bn")(residual)
@@ -156,6 +166,7 @@ class ResNetBackbone(nn.Module):
     dcn_layers: Tuple[int, ...] = (0, 0, 0, 0)
     dcn_interval: int = 1
     extra_layers: int = 0
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -165,7 +176,7 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
@@ -180,26 +191,29 @@ class ResNetBackbone(nn.Module):
                 if i == 0:
                     has_ds = stride != 1 or inplanes != planes * 4
                     x = Bottleneck(planes, stride=stride, has_downsample=has_ds,
-                                   use_dcn=dcn_flags[i],
+                                   use_dcn=dcn_flags[i], dtype=self.dtype,
                                    name=f"layer{s}_{i}")(x, train=train)
                     inplanes = planes * 4
                 else:
                     x = Bottleneck(planes, use_dcn=dcn_flags[i],
+                                   dtype=self.dtype,
                                    name=f"layer{s}_{i}")(x, train=train)
             outs.append(x)
 
         for e in range(self.extra_layers):
             x = Bottleneck(256, stride=2, has_downsample=True,
+                           dtype=self.dtype,
                            name=f"extra{e}_0")(x, train=train)
             outs.append(x)
         return tuple(outs)
 
 
-def construct_backbone(cfg: BackboneConfig) -> ResNetBackbone:
+def construct_backbone(cfg: BackboneConfig, dtype=None) -> ResNetBackbone:
     """Build a backbone from a config (reference backbone.py:233-243)."""
     num_layers = max(cfg.selected_layers) + 1
     extra = max(0, num_layers - len(cfg.layers))
     return ResNetBackbone(layers=tuple(cfg.layers),
                           dcn_layers=tuple(cfg.dcn_layers),
                           dcn_interval=cfg.dcn_interval,
-                          extra_layers=extra)
+                          extra_layers=extra,
+                          dtype=dtype)

@@ -14,7 +14,7 @@ and injected at the coarsest level via ``refine_conv(concat[x, x*masks])``.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -28,6 +28,7 @@ from planerecnet_tpu.ops.image import (reflect_pad, resize_bilinear,
 
 class DepthDecoderFPN(nn.Module):
     cfg: SOLOv2Config
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, feature_maps: Sequence[jnp.ndarray],
@@ -47,7 +48,8 @@ class DepthDecoderFPN(nn.Module):
                            preferred_element_type=jnp.float32)
         masks = jax.lax.stop_gradient(jax.nn.sigmoid(masks)).astype(seg.dtype)
 
-        masks = nn.Conv(256, (1, 1), name="conv1x1")(masks)
+        masks = nn.Conv(256, (1, 1), dtype=self.dtype,
+                        name="conv1x1")(masks)
         mh, mw = masks.shape[1] // 4, masks.shape[2] // 4
         masks = resize_bilinear(masks, (mh, mw))
 
@@ -55,28 +57,30 @@ class DepthDecoderFPN(nn.Module):
 
         def deconv(x, feats_out, name):
             x = upsample2x_nearest(x)
-            return ReflectConvBNReLU(feats_out, name=name)(x, train=train)
+            return ReflectConvBNReLU(feats_out, dtype=self.dtype,
+                                     name=name)(x, train=train)
 
         # Coarsest level.
-        x = nn.Conv(256, (1, 1), name="latlayer1")(feats[0])
-        x = ReflectConvBNReLU(256, name="conv1")(x, train=train)
+        x = nn.Conv(256, (1, 1), dtype=self.dtype, name="latlayer1")(feats[0])
+        x = ReflectConvBNReLU(256, dtype=self.dtype, name="conv1")(x, train=train)
         x = deconv(x, 256, "deconv1")
 
         x = jnp.concatenate([x, x * masks], axis=-1)
-        x = ReflectConvBNReLU(128, name="refine_conv")(x, train=train)
+        x = ReflectConvBNReLU(128, dtype=self.dtype, name="refine_conv")(x, train=train)
 
-        l2 = nn.Conv(256, (1, 1), name="latlayer2")(feats[1])
-        l2 = ReflectConvBNReLU(128, name="conv2")(l2, train=train)
+        l2 = nn.Conv(256, (1, 1), dtype=self.dtype, name="latlayer2")(feats[1])
+        l2 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv2")(l2, train=train)
         x = deconv(jnp.concatenate([l2, x], axis=-1), 128, "deconv2")
 
-        l3 = nn.Conv(256, (1, 1), name="latlayer3")(feats[2])
-        l3 = ReflectConvBNReLU(128, name="conv3")(l3, train=train)
+        l3 = nn.Conv(256, (1, 1), dtype=self.dtype, name="latlayer3")(feats[2])
+        l3 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv3")(l3, train=train)
         x = deconv(jnp.concatenate([l3, x], axis=-1), 128, "deconv3")
 
-        l4 = nn.Conv(256, (1, 1), name="latlayer4")(feats[3])
-        l4 = ReflectConvBNReLU(128, name="conv4")(l4, train=train)
+        l4 = nn.Conv(256, (1, 1), dtype=self.dtype, name="latlayer4")(feats[3])
+        l4 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv4")(l4, train=train)
         x = deconv(jnp.concatenate([l4, x], axis=-1), 64, "deconv4")
 
         x = reflect_pad(x, 1)
-        x = nn.Conv(1, (3, 3), padding="VALID", name="depth_pred")(x)
+        x = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
+                    name="depth_pred")(x)
         return jax.nn.softplus(x)

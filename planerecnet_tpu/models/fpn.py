@@ -24,6 +24,7 @@ class FPN(nn.Module):
     interpolation_mode: str = "bilinear"
     high_level_mode: Optional[str] = None   # 'original' | 'retina' | None
     relu_pred_layers: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]):
@@ -31,7 +32,7 @@ class FPN(nn.Module):
         laterals = []
         x = None
         for i in range(self.start_level, self.num_ins):
-            lat = nn.Conv(self.num_features, (1, 1),
+            lat = nn.Conv(self.num_features, (1, 1), dtype=self.dtype,
                           name=f"lateral_conv{i - self.start_level}")(
                               inputs[i])
             if x is not None:
@@ -44,7 +45,7 @@ class FPN(nn.Module):
 
         outs = []
         for i, lat in enumerate(laterals):
-            p = nn.Conv(self.num_features, (3, 3),
+            p = nn.Conv(self.num_features, (3, 3), dtype=self.dtype,
                         padding=[(1, 1), (1, 1)], name=f"fpn_conv{i}")(lat)
             if self.relu_pred_layers:
                 p = nn.relu(p)
@@ -56,8 +57,10 @@ class FPN(nn.Module):
             outs.append(outs[-1][:, ::2, ::2, :])
         elif self.high_level_mode == "retina":
             p6 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
+                         dtype=self.dtype,
                          padding=[(1, 1), (1, 1)], name="downsample0")(outs[-1])
             p7 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
+                         dtype=self.dtype,
                          padding=[(1, 1), (1, 1)], name="downsample1")(
                              nn.relu(p6))
             outs.append(p6)
@@ -65,10 +68,11 @@ class FPN(nn.Module):
         return outs
 
 
-def build_fpn(cfg: FPNConfig, num_inputs: int) -> FPN:
+def build_fpn(cfg: FPNConfig, num_inputs: int, dtype=None) -> FPN:
     return FPN(num_ins=num_inputs,
                num_features=cfg.num_features,
                start_level=cfg.start_level or 0,
                interpolation_mode=cfg.interpolation_mode,
                high_level_mode=cfg.high_level_mode,
-               relu_pred_layers=cfg.relu_pred_layers)
+               relu_pred_layers=cfg.relu_pred_layers,
+               dtype=dtype)

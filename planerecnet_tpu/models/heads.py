@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -29,6 +29,7 @@ class SOLOv2InsHead(nn.Module):
     cfg: SOLOv2Config
     num_classes: int
     in_channels: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -46,6 +47,7 @@ class SOLOv2InsHead(nn.Module):
                     nn.Conv(c.instance_channels, (3, 3),
                             padding=[(1, 1), (1, 1)],
                             use_bias=False,  # norm == GN
+                            dtype=self.dtype,
                             name=f"{name}_tower{i}_conv"),
                     nn.GroupNorm(num_groups=32, name=f"{name}_tower{i}_gn"),
                 ))
@@ -59,9 +61,9 @@ class SOLOv2InsHead(nn.Module):
         cate_out = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
                            bias_init=nn.initializers.constant(
                                bias_init_with_prob(c.focal_loss_init_pi)),
-                           name="cate_pred")
+                           dtype=self.dtype, name="cate_pred")
         kernel_out = nn.Conv(c.num_kernels, (3, 3), padding=[(1, 1), (1, 1)],
-                             name="kernel_pred")
+                             dtype=self.dtype, name="kernel_pred")
 
         for idx, feat in enumerate(features):
             b, h, w, _ = feat.shape
@@ -91,6 +93,7 @@ class SOLOv2MaskHead(nn.Module):
     """
 
     cfg: SOLOv2Config
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -100,7 +103,8 @@ class SOLOv2MaskHead(nn.Module):
 
         def conv_gn_relu(x, feats, name):
             x = nn.Conv(feats, (3, 3), padding=[(1, 1), (1, 1)],
-                        use_bias=False, name=f"{name}_conv")(x)
+                        use_bias=False, dtype=self.dtype,
+                        name=f"{name}_conv")(x)
             x = nn.GroupNorm(num_groups=32, name=f"{name}_gn")(x)
             return nn.relu(x)
 
@@ -119,7 +123,7 @@ class SOLOv2MaskHead(nn.Module):
                 x = resize_bilinear(x, (2 * h, 2 * w))
             out = out + x
 
-        out = nn.Conv(c.num_masks, (1, 1), use_bias=False,
+        out = nn.Conv(c.num_masks, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv_pred_conv")(out)
         out = nn.GroupNorm(num_groups=32, name="conv_pred_gn")(out)
         return nn.relu(out)

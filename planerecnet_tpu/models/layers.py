@@ -94,11 +94,13 @@ class ReflectConvBNReLU(nn.Module):
     used throughout the depth decoder (reference planerecnet.py:515-584)."""
 
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = reflect_pad(x, 1)
-        x = nn.Conv(self.features, (3, 3), padding="VALID", name="conv")(x)
+        x = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
+                    name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
         return nn.relu(x)

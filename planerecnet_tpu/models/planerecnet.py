@@ -41,12 +41,13 @@ class PlaneRecNet(nn.Module):
         """
         cfg = self.cfg
         bb_train = train and not cfg.freeze_bn
+        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
 
-        backbone = construct_backbone(cfg.backbone)
+        backbone = construct_backbone(cfg.backbone, dtype=dtype)
         feats_enc = backbone.copy(name="backbone")(x, train=bb_train)
 
         fpn_inputs = [feats_enc[i] for i in cfg.fpn.selected_layers]
-        fpn = build_fpn(cfg.fpn, len(fpn_inputs))
+        fpn = build_fpn(cfg.fpn, len(fpn_inputs), dtype=dtype)
         features = fpn.copy(name="fpn")(fpn_inputs)
 
         # Instance branch: halve p2 so level strides are [8, 8, 16, 32].
@@ -59,16 +60,19 @@ class PlaneRecNet(nn.Module):
                      features[1], features[2], features[3]]
         cate_preds, kernel_preds = SOLOv2InsHead(
             cfg.solov2, num_classes=cfg.num_classes,
-            in_channels=cfg.fpn.num_features, name="inst_head")(ins_feats)
+            in_channels=cfg.fpn.num_features, dtype=dtype,
+            name="inst_head")(ins_feats)
 
         # Mask branch.
         n_mask = len(cfg.solov2.masks_in_features)
         mask_feats = [features[f] for f in range(n_mask)]
-        mask_pred = SOLOv2MaskHead(cfg.solov2, name="mask_head")(mask_feats)
+        mask_pred = SOLOv2MaskHead(cfg.solov2, dtype=dtype,
+                                   name="mask_head")(mask_feats)
 
         # Depth branch over the raw backbone features.
         depth_inputs = [feats_enc[i] for i in cfg.depth.selected_layers]
-        depth_pred = DepthDecoderFPN(cfg.solov2, name="depth_decoder")(
+        depth_pred = DepthDecoderFPN(cfg.solov2, dtype=dtype,
+                                     name="depth_decoder")(
             depth_inputs, mask_pred, kernel_preds, train=train)
 
         return {

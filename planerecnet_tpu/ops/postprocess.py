@@ -134,8 +134,9 @@ def postprocess_single(cate_scores_flat: jnp.ndarray,
     else:
         raise NotImplementedError(sv.nms_type)
 
-    # Final top-k (reference 263-269).
-    order, ok = _masked_topk_desc(scores, valid, sv.top_k)
+    # Final top-k (reference 263-269). k cannot exceed the candidate
+    # capacity (slots beyond it are invalid anyway).
+    order, ok = _masked_topk_desc(scores, valid, min(sv.top_k, cap))
     scores = scores[order]
     labels = labels[order]
     seg_sig = seg_sig[order]

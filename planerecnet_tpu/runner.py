@@ -1,0 +1,114 @@
+"""Inference runner: preprocessing + forward + post-processing as one
+jit-compiled pipeline, cached per input shape.
+
+The TPU counterpart of the reference's eval-mode ``PlaneRecNet.forward``
+(reference planerecnet.py:104-111) composed with ``FastBaseTransform``
+(data/augmentations.py:496-530): raw BGR pixels go in, post-processed
+masks / boxes / classes / scores / depth come out, with every stage fused
+into a single XLA program per (batch, H, W) shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planerecnet_tpu.config import PlaneRecNetConfig
+from planerecnet_tpu.models.planerecnet import PlaneRecNet
+from planerecnet_tpu.ops.image import fast_base_transform
+from planerecnet_tpu.ops.postprocess import postprocess_batch
+from planerecnet_tpu.utils import checkpoint as ckpt
+
+
+class PlaneRecNetRunner:
+    """Owns the model + variables and exposes the reference's inference
+    surface (``save_weights`` / ``load_weights`` / call on a batch)."""
+
+    def __init__(self, cfg: PlaneRecNetConfig,
+                 variables: Optional[Dict] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.model = PlaneRecNet(cfg)
+        self._variables = variables
+        self._seed = seed
+        self._jitted = {}
+
+    # ---------------- weights ----------------
+
+    @property
+    def variables(self) -> Dict:
+        if self._variables is None:
+            x = jnp.zeros((1, self.cfg.max_size, self.cfg.max_size, 3),
+                          jnp.float32)
+            self._variables = self.model.init(
+                jax.random.PRNGKey(self._seed), x, train=False)
+        return self._variables
+
+    def init_weights(self, backbone_path: Optional[str] = None):
+        """Fresh init; optionally load ImageNet backbone weights from a
+        torchvision-style checkpoint (reference planerecnet.py:130-145)."""
+        _ = self.variables
+        if backbone_path:
+            from planerecnet_tpu.utils.torch_convert import (
+                convert_backbone_imagenet)
+            import torch
+            sd = torch.load(backbone_path, map_location="cpu")
+            self._variables = convert_backbone_imagenet(
+                {k: v.numpy() for k, v in sd.items()}, self.variables)
+
+    def save_weights(self, path: str):
+        ckpt.save_weights(path, self.variables)
+
+    def load_weights(self, path: str):
+        if path.endswith(".pth"):
+            from planerecnet_tpu.utils.torch_convert import torch_to_flax_file
+            self._variables = torch_to_flax_file(path, self.variables)
+        else:
+            self._variables = ckpt.load_weights(path)
+        self._jitted.clear()
+
+    # ---------------- inference ----------------
+
+    def _pipeline(self, shape: Tuple[int, ...], ori_size: Tuple[int, int]):
+        key = (shape, ori_size)
+        if key not in self._jitted:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(variables, images_bgr):
+                x = fast_base_transform(images_bgr)
+                preds = self.model.apply(variables, x, train=False)
+                return postprocess_batch(preds, cfg, ori_size)
+
+            self._jitted[key] = run
+        return self._jitted[key]
+
+    def infer(self, images_bgr: np.ndarray,
+              ori_size: Optional[Tuple[int, int]] = None) -> Dict:
+        """Run the full pipeline on (B, H, W, 3) raw BGR pixels [0, 255].
+
+        ``ori_size`` sets the output mask/depth resolution (defaults to the
+        input size, matching reference planerecnet.py:160-165).
+        """
+        images_bgr = np.asarray(images_bgr, np.float32)
+        if images_bgr.ndim == 3:
+            images_bgr = images_bgr[None]
+        b, h, w, _ = images_bgr.shape
+        ori = ori_size or (h, w)
+        run = self._pipeline(images_bgr.shape, ori)
+        return run(self.variables, jnp.asarray(images_bgr))
+
+    def forward_raw(self, images_normalized: jnp.ndarray) -> Dict:
+        """Raw prediction pytree on already-normalised input (training
+        branch surface, reference planerecnet.py:101-103)."""
+        return self.model.apply(self.variables, images_normalized,
+                                train=False)
+
+    def warmup(self, shape: Tuple[int, int] = None):
+        hw = shape or (self.cfg.max_size, self.cfg.max_size)
+        dummy = np.zeros((1, hw[0], hw[1], 3), np.float32)
+        jax.block_until_ready(self.infer(dummy))

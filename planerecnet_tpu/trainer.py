@@ -1,0 +1,179 @@
+"""Training state, optimizer, LR schedule and the jitted/pjit train step.
+
+TPU-native re-design of the reference training loop core
+(reference train.py:216-412): the per-iteration python body (zero_grad ->
+forward -> loss sum -> backward -> conditional step, train.py:344-354)
+becomes one jitted ``train_step`` with donated buffers; the LR warmup + step
+schedule (train.py:335-341) becomes a pure function of the step counter (the
+reference reconstructs schedule state from the iteration on resume —
+train.py:339-341 — which a pure schedule gives for free).
+
+Optimizer parity notes (reference train.py:251-256): the reference creates
+Adam param groups with 5x lr for the backbone and 2x for the depth decoder,
+but its ``set_lr`` (train.py:415-420) overwrites *all* groups with one value
+and is invoked at iteration 0 by warmup — so the multipliers never actually
+apply. We default to the effective (uniform-lr) behaviour and expose the
+intended multipliers behind ``per_module_lr=True``.
+
+Non-finite-loss handling matches train.py:352-354: gradients are computed
+but the update is skipped when the total loss is not finite.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state as flax_train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from planerecnet_tpu.config import PlaneRecNetConfig
+from planerecnet_tpu.losses import compute_losses
+from planerecnet_tpu.models.planerecnet import PlaneRecNet
+
+
+class TrainState(flax_train_state.TrainState):
+    batch_stats: Any = None
+    rng: Optional[jax.Array] = None
+
+
+def lr_schedule(cfg: PlaneRecNetConfig, base_lr: Optional[float] = None):
+    """LR warmup + step decay as a pure function of the iteration
+    (reference train.py:335-341; data/config.py:419-431)."""
+    lr = base_lr if base_lr is not None else cfg.lr
+    steps = jnp.asarray(cfg.lr_steps, jnp.int32)
+
+    def schedule(it):
+        it = jnp.asarray(it, jnp.float32)
+        n_steps = jnp.sum(it >= steps.astype(jnp.float32))
+        base = lr * cfg.gamma ** n_steps
+        if cfg.lr_warmup_until > 0:
+            warm = ((lr - cfg.lr_warmup_init) * (it / cfg.lr_warmup_until)
+                    + cfg.lr_warmup_init)
+            return jnp.where(it <= cfg.lr_warmup_until, warm, base)
+        return base
+
+    return schedule
+
+
+def make_optimizer(cfg: PlaneRecNetConfig, base_lr: Optional[float] = None,
+                   per_module_lr: bool = False) -> optax.GradientTransformation:
+    """Adam with the reference's schedule; optional per-module lr multipliers
+    (the reference's *intended* 5x-backbone / 2x-depth grouping,
+    train.py:251-256)."""
+    schedule = lr_schedule(cfg, base_lr)
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+    if not per_module_lr:
+        return optax.chain(adam, optax.scale_by_learning_rate(schedule))
+
+    def multiplier(path, _):
+        top = path[0].key if path else ""
+        if top == "backbone":
+            return 5.0
+        if top == "depth_decoder":
+            return 2.0
+        return 1.0
+
+    def scale_by_module(params):
+        return jax.tree_util.tree_map_with_path(multiplier, params)
+
+    return optax.chain(
+        adam,
+        optax.scale_by_learning_rate(schedule),
+        _per_module_scale(scale_by_module),
+    )
+
+
+def _per_module_scale(mult_fn):
+    def init_fn(params):
+        return mult_fn(params)
+
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(lambda u, m: u * m, updates, state), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def create_train_state(cfg: PlaneRecNetConfig, rng: jax.Array,
+                       input_shape: Tuple[int, int] = (480, 640),
+                       base_lr: Optional[float] = None,
+                       per_module_lr: bool = False) -> TrainState:
+    """Initialise model params + batch stats + optimizer state."""
+    model = PlaneRecNet(cfg)
+    init_rng, state_rng = jax.random.split(rng)
+    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
+    variables = model.init(init_rng, x, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, base_lr, per_module_lr)
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx,
+        batch_stats=batch_stats, rng=state_rng)
+
+
+def train_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step. ``cfg`` must be a static (hashable) argument."""
+    step_rng = jax.random.fold_in(state.rng, state.step)
+
+    def loss_fn(params):
+        preds, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        losses = compute_losses(cfg, preds, batch, step_rng)
+        total = sum(losses.values())
+        return total, (losses, mutated.get("batch_stats", state.batch_stats))
+
+    (total, (losses, new_bs)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    finite = jnp.isfinite(total)
+    safe_grads = jax.tree.map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+    updates, new_opt_state = state.tx.update(
+        safe_grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    # Skip the step entirely when the loss is non-finite
+    # (reference train.py:352-354).
+    def keep_new(new, old):
+        return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+
+    state = state.replace(
+        step=state.step + 1,
+        params=keep_new(new_params, state.params),
+        opt_state=keep_new(new_opt_state, state.opt_state),
+        batch_stats=keep_new(new_bs, state.batch_stats),
+    )
+    losses = dict(losses, total=total)
+    return state, losses
+
+
+def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None):
+    """Jitted train step — the working replacement for the reference's broken
+    ``CustomDataParallel`` (train.py:128-213). With a mesh, the batch is
+    sharded on its leading axis over 'data' and the state replicated; XLA
+    emits the gradient all-reduce over ICI."""
+    step = functools.partial(train_step, cfg=cfg)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def shard_args(state, batch):
+        state = jax.device_put(state, repl)
+        batch = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1))))),
+            batch)
+        return state, batch
+
+    jitted = jax.jit(step, out_shardings=(repl, repl), donate_argnums=(0,))
+    jitted.shard_args = shard_args
+    return jitted

@@ -16,3 +16,7 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# NB: do NOT enable jax_compilation_cache_dir here — in this environment a
+# remote-compile service produces CPU AOT artifacts for a different machine
+# type, and reloading them SIGILLs the test process.

@@ -1,0 +1,115 @@
+"""Trainer tests: LR schedule parity, single step, 8-device mesh step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from planerecnet_tpu.config import PlaneRecNet_50_config
+from planerecnet_tpu.parallel.mesh import make_mesh
+from planerecnet_tpu.trainer import (create_train_state, jit_train_step,
+                                     lr_schedule, train_step)
+
+
+def _reference_lr(cfg, it, base_lr):
+    """Scalar re-derivation of reference train.py:335-341 + set_lr."""
+    step_index = 0
+    while step_index < len(cfg.lr_steps) and it >= cfg.lr_steps[step_index]:
+        step_index += 1
+    lr = base_lr * (cfg.gamma ** step_index)
+    if cfg.lr_warmup_until > 0 and it <= cfg.lr_warmup_until:
+        lr = ((base_lr - cfg.lr_warmup_init) * (it / cfg.lr_warmup_until)
+              + cfg.lr_warmup_init)
+    return lr
+
+
+def test_lr_schedule_parity():
+    cfg = PlaneRecNet_50_config
+    sched = lr_schedule(cfg)
+    for it in [0, 1, 1000, 2000, 2001, 50000, 62500, 99999, 100000, 124999]:
+        got = float(sched(it))
+        want = _reference_lr(cfg, it, cfg.lr)
+        assert got == pytest.approx(want, rel=1e-6), it
+
+
+def _tiny_cfg():
+    return PlaneRecNet_50_config.copy(dict(
+        max_instances=2, max_positives=16, vnl_samples=32))
+
+
+def _tiny_batch(b, h, w):
+    rng = np.random.RandomState(0)
+    masks = np.zeros((b, 2, h, w), np.float32)
+    masks[:, 0, 8:40, 8:40] = 1
+    boxes = np.zeros((b, 2, 4), np.float32)
+    boxes[:, 0] = [8, 8, 40, 40]
+    gt_valid = np.zeros((b, 2), bool)
+    gt_valid[:, 0] = True
+    planes = np.zeros((b, 2, 4), np.float32)
+    planes[..., 2] = 1.0
+    return {
+        "image": rng.randn(b, h, w, 3).astype(np.float32),
+        "depth": (rng.rand(b, h, w, 1) * 3 + 0.5).astype(np.float32),
+        "masks": masks, "boxes": boxes,
+        "classes": np.ones((b, 2), np.int32), "gt_valid": gt_valid,
+        "plane_paras": planes,
+        "k_matrix": np.tile(np.array([[50., 0, w / 2], [0, 50., h / 2],
+                                      [0, 0, 1]], np.float32), (b, 1, 1)),
+    }
+
+
+def test_single_train_step_updates_params():
+    cfg = _tiny_cfg()
+    h = w = 64
+    state = create_train_state(cfg, jax.random.PRNGKey(0), input_shape=(h, w))
+    batch = _tiny_batch(2, h, w)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+
+    state, losses = train_step(state, batch, cfg)
+    assert int(state.step) == 1
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # some parameter moved
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), state.params, p0))
+    assert max(diffs) > 0
+
+
+def test_nonfinite_loss_skips_update():
+    cfg = _tiny_cfg()
+    h = w = 64
+    state = create_train_state(cfg, jax.random.PRNGKey(0), input_shape=(h, w))
+    batch = _tiny_batch(2, h, w)
+    batch["depth"] = batch["depth"] * np.nan  # poison the depth loss
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    state, losses = train_step(state, batch, cfg)
+    assert not np.isfinite(float(losses["total"]))
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), state.params, p0))
+    assert max(diffs) == 0  # reference train.py:352-354 semantics
+
+
+def test_mesh_train_step_8_devices():
+    """Data-parallel step over the virtual 8-CPU-device mesh."""
+    assert len(jax.devices()) == 8
+    cfg = _tiny_cfg()
+    h = w = 64
+    mesh = make_mesh(n_data=8)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), input_shape=(h, w))
+    batch = _tiny_batch(8, h, w)
+    step = jit_train_step(cfg, mesh)
+    state, batch = step.shard_args(state, batch)
+    state, losses = step(state, batch)
+    assert np.isfinite(float(losses["total"]))
+    assert int(state.step) == 1
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    __graft_entry__.dryrun_multichip(8)

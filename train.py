@@ -1,0 +1,246 @@
+"""PlaneRecNet-TPU training CLI (reference train.py:26-489 surface).
+
+The per-iteration body runs as one jitted, buffer-donating ``train_step``
+over a data-parallel device mesh (the working replacement for the
+reference's broken ``CustomDataParallel``). Checkpoints keep the
+``<name>_<epoch>_<iter>`` codec, ctrl-C writes ``*_interrupt``, resume
+parses the start iteration from the file name, and batch-size autoscaling
+rescales lr / max_iter / lr_steps exactly like reference train.py:91-97.
+"""
+
+import argparse
+import math
+import os
+import signal
+import time
+
+import numpy as np
+
+from planerecnet_tpu.config import set_cfg, set_dataset
+from planerecnet_tpu.data import BatchIterator, SSDAugmentation, build_dataset
+from planerecnet_tpu.parallel.mesh import make_mesh
+from planerecnet_tpu.trainer import create_train_state, jit_train_step
+from planerecnet_tpu.utils import MovingAverage, SavePath
+from planerecnet_tpu.utils.checkpoint import (load_train_state,
+                                              save_train_state)
+
+LOSS_TYPES = ["ins", "lav", "cat", "dpt", "pln"]
+args = None
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="PlaneRecNet Training Script")
+    parser.add_argument("--dataset", default=None, type=str)
+    parser.add_argument("--config", default="PlaneRecNet_50_config")
+    parser.add_argument("--save_folder", default="./weights/")
+    parser.add_argument("--log_folder", default="./logs/")
+    parser.add_argument("--backbone_folder", default="./weights/")
+    parser.add_argument("--resume", default=None, type=str,
+                        help='"interrupt" | "latest" | checkpoint path')
+    parser.add_argument("--start_iter", default=-1, type=int)
+    parser.add_argument("--validation_size", default=2000, type=int)
+    parser.add_argument("--validation_epoch", default=1, type=int)
+    parser.add_argument("--no_tensorboard", action="store_true")
+    parser.add_argument("--no_autoscale", dest="autoscale",
+                        action="store_false")
+    parser.add_argument("--reproductablity", action="store_true",
+                        help="Pin all RNG seeds (reference train.py:476-487).")
+    parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--lr", "--learning_rate", default=None, type=float)
+    parser.add_argument("--momentum", default=None, type=float)
+    parser.add_argument("--decay", "--weight_decay", default=None, type=float)
+    parser.add_argument("--gamma", default=None, type=float)
+    parser.add_argument("--num_workers", default=2, type=int)
+    parser.add_argument("--save_interval", default=12500, type=int)
+    parser.add_argument("--keep_latest", action="store_true")
+    parser.add_argument("--keep_latest_interval", default=10000, type=int)
+    parser.add_argument("--no_interrupt", dest="interrupt",
+                        action="store_false")
+    parser.add_argument("--per_module_lr", action="store_true",
+                        help="Enable the reference's *intended* 5x-backbone/"
+                             "2x-depth lr groups (its set_lr bug meant they "
+                             "never applied; off by default for parity).")
+    parser.add_argument("--n_devices", default=None, type=int,
+                        help="Data-parallel mesh size (default: all devices).")
+    parser.set_defaults(autoscale=True, interrupt=True)
+    global args
+    args = parser.parse_args(argv)
+    return args
+
+
+def main(argv=None):
+    parse_args(argv)
+    import jax
+
+    cfg = set_cfg(args.config)
+    if args.dataset is not None:
+        cfg = set_dataset(cfg, args.dataset)
+
+    # Batch-size autoscaling (reference train.py:91-97).
+    if args.autoscale and args.batch_size != 8:
+        factor = args.batch_size / 8
+        print("Scaling parameters by %.2f to account for a batch size of %d."
+              % (factor, args.batch_size))
+        cfg = cfg.copy(dict(
+            lr=cfg.lr * factor,
+            max_iter=int(cfg.max_iter // factor),
+            lr_steps=tuple(int(x // factor) for x in cfg.lr_steps),
+        ))
+    base_lr = args.lr if args.lr is not None else cfg.lr
+    if args.gamma is not None:
+        cfg = cfg.copy(dict(gamma=args.gamma))
+
+    # Per-device batch < 6 -> freeze BN (reference train.py:115-118).
+    n_dev = args.n_devices or len(jax.devices())
+    if args.batch_size // n_dev < 6:
+        print("Per-device batch size is less than the recommended limit for "
+              "batch norm. Disabling batch norm.")
+        cfg = cfg.copy(dict(freeze_bn=True))
+
+    os.makedirs(args.save_folder, exist_ok=True)
+    seed = 42 if args.reproductablity else int(time.time()) % (2 ** 31)
+
+    dataset = build_dataset(cfg, "train", transform=SSDAugmentation(
+        cfg, rng=np.random.RandomState(seed)))
+    loader = BatchIterator(cfg, dataset, args.batch_size, seed=seed)
+
+    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    state = create_train_state(cfg, jax.random.PRNGKey(seed),
+                               input_shape=(cfg.max_size, cfg.max_size),
+                               base_lr=base_lr,
+                               per_module_lr=args.per_module_lr)
+
+    start_iter = max(args.start_iter, 0)
+    if args.resume is not None:
+        path = args.resume
+        if path == "interrupt":
+            path = SavePath.get_interrupt(args.save_folder)
+        elif path == "latest":
+            path = SavePath.get_latest(args.save_folder, cfg.name)
+        print(f"Resuming training from {path}...")
+        state = load_train_state(path, state)
+        if args.start_iter == -1:
+            start_iter = SavePath.from_str(path).iteration
+    else:
+        backbone_path = os.path.join(args.backbone_folder, cfg.backbone.path)
+        if os.path.exists(backbone_path):
+            print(f"Initializing backbone from {backbone_path}...")
+            from planerecnet_tpu.utils.torch_convert import (
+                convert_backbone_imagenet)
+            import torch
+            sd = torch.load(backbone_path, map_location="cpu")
+            variables = convert_backbone_imagenet(
+                {k: v.numpy() for k, v in sd.items()},
+                {"params": state.params, "batch_stats": state.batch_stats})
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+        else:
+            print("Initializing weights...")
+
+    step_fn = jit_train_step(cfg, mesh)
+
+    writer = None
+    if not args.no_tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            import datetime
+            begin = datetime.datetime.now().strftime("%d%m%Y%H%M%S")
+            logpath = os.path.join(args.log_folder, begin + "_" + cfg.name)
+            os.makedirs(logpath, exist_ok=True)
+            writer = SummaryWriter(logpath)
+        except ImportError:
+            print("TensorBoard unavailable; console logging only.")
+
+    iteration = start_iter
+    epoch_size = max(len(dataset) // args.batch_size, 1)
+    num_epochs = math.ceil(cfg.max_iter / epoch_size)
+    loss_avgs = {k: MovingAverage(100) for k in LOSS_TYPES + ["total"]}
+    time_avg = MovingAverage()
+    last_time = time.time()
+
+    save_path = lambda epoch, it: SavePath(  # noqa: E731
+        cfg.name, epoch, it).get_path(root=args.save_folder)
+    latest_saved = None
+
+    # SIGINT sets a flag checked each iteration: a ctrl-C that lands inside
+    # an XLA dispatch cannot reliably surface as KeyboardInterrupt in this
+    # frame, so the flag (plus the except below as backup) guarantees the
+    # interrupt checkpoint gets written (reference train.py:404-410).
+    stop_requested = {"flag": False}
+
+    def _on_sigint(signum, frame):
+        stop_requested["flag"] = True
+    prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+
+    print("Begin training!\n")
+    try:
+        for epoch in range(num_epochs):
+            if (epoch + 1) * epoch_size < iteration:
+                continue
+            for batch in loader:
+                if stop_requested["flag"]:
+                    raise KeyboardInterrupt
+                if iteration == (epoch + 1) * epoch_size:
+                    break
+                if iteration == cfg.max_iter:
+                    break
+
+                if mesh is not None:
+                    state, batch = step_fn.shard_args(state, batch)
+                state, losses = step_fn(state, batch)
+
+                losses = {k: float(v) for k, v in losses.items()}
+                for k, v in losses.items():
+                    if k in loss_avgs:
+                        loss_avgs[k].add(v)
+
+                cur_time = time.time()
+                time_avg.add(cur_time - last_time)
+                last_time = cur_time
+                iteration += 1
+
+                if iteration % 100 == 0:
+                    eta = (cfg.max_iter - iteration) * time_avg.get_avg()
+                    eta_str = str(int(eta // 3600)) + "h" + str(
+                        int(eta % 3600 // 60)) + "m"
+                    parts = " | ".join(
+                        f"{k}: {loss_avgs[k].get_avg():.3f}"
+                        for k in LOSS_TYPES if len(loss_avgs[k]))
+                    print(f"[{epoch:3d}] {iteration:7d} || {parts} || "
+                          f"T: {loss_avgs['total'].get_avg():.3f} || "
+                          f"ETA: {eta_str}", flush=True)
+                if writer is not None and iteration % 50 == 0:
+                    for k, v in losses.items():
+                        writer.add_scalar(f"loss/{k}", v, iteration)
+
+                if iteration % args.save_interval == 0 and iteration > 0:
+                    if args.keep_latest and latest_saved is not None:
+                        if args.keep_latest_interval <= 0 or \
+                                iteration % args.keep_latest_interval \
+                                != args.save_interval:
+                            try:
+                                os.remove(latest_saved)
+                            except OSError:
+                                pass
+                    print(f"Saving state, iter: {iteration}")
+                    latest_saved = save_path(epoch, iteration)
+                    save_train_state(latest_saved, state)
+            else:
+                continue
+    except KeyboardInterrupt:
+        if args.interrupt:
+            print("Stopping early. Saving network...")
+            SavePath.remove_interrupt(args.save_folder)
+            p = save_path(epoch, repr(iteration) + "_interrupt")
+            save_train_state(p, state)
+        signal.signal(signal.SIGINT, prev_handler)
+        return
+
+    signal.signal(signal.SIGINT, prev_handler)
+    save_train_state(save_path(epoch, iteration), state)
+    print("Training complete.")
+
+
+if __name__ == "__main__":
+    main()
