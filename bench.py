@@ -23,6 +23,10 @@ def main():
     parser.add_argument("--height", default=480, type=int)
     parser.add_argument("--width", default=640, type=int)
     parser.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"])
+    parser.add_argument("--image", default=None, type=str,
+                        help="Benchmark on a real image instead of noise "
+                             "(reference planerecnet.py:610-677 uses "
+                             "data/example_nyu.jpg).")
     args = parser.parse_args()
 
     import jax
@@ -34,9 +38,16 @@ def main():
         cfg = cfg.copy(dict(compute_dtype=args.dtype))
     net = PlaneRecNetRunner(cfg)
 
-    rng = np.random.RandomState(0)
-    frame = (rng.rand(args.batch_size, args.height, args.width, 3)
-             * 255).astype(np.float32)
+    if args.image:
+        import cv2
+        img = cv2.imread(args.image).astype(np.float32)
+        img = cv2.resize(img, (args.width, args.height))
+        frame = np.broadcast_to(
+            img, (args.batch_size,) + img.shape).copy()
+    else:
+        rng = np.random.RandomState(0)
+        frame = (rng.rand(args.batch_size, args.height, args.width, 3)
+                 * 255).astype(np.float32)
 
     # Warmup (compile included).
     for _ in range(args.warmup):

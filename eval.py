@@ -39,9 +39,46 @@ def parse_args(argv=None):
                         choices=["matrix", "mask"])
     parser.add_argument("--score_threshold", default=0.1, type=float)
     parser.add_argument("--seed", default=None, type=int)
+    parser.add_argument("--autopsy", action="store_true",
+                        help="Also write predicted seg/depth image panels "
+                             "to TensorBoard (reference eval.py:419-426).")
+    parser.add_argument("--log_folder", default="./logs/", type=str)
     global args
     args = parser.parse_args(argv)
     return args
+
+
+def tensorboard_visual_log(net, dataset, writer, iteration, eval_nums):
+    """Predicted seg/depth panels (reference eval.py:132-161)."""
+    import numpy as np
+    from planerecnet_tpu.ops.postprocess import postprocess_batch
+    from simple_inference import _valid_result, display_on_frame
+
+    indices = list(range(len(dataset)))
+    random.shuffle(indices)
+    for it, image_idx in enumerate(indices[:eval_nums]):
+        image, _, _ = dataset.pull_item(image_idx)
+        frame_ori = dataset.pull_image(image_idx) \
+            if hasattr(dataset, "pull_image") else None
+        preds = net.model.apply(net.variables, image[None], train=False)
+        batched = postprocess_batch(preds, net.cfg, image.shape[:2])
+        result = _valid_result(batched, 0)
+        if frame_ori is None:
+            frame_ori = ((image - image.min())
+                         / max(float(np.ptp(image)), 1e-6) * 255)
+        seg, depth = display_on_frame(
+            result, frame_ori.astype(np.float32), net.cfg, mask_alpha=0.35)
+        h, w = depth.shape
+        crop = depth[min(20, h // 4):h - min(20, h // 4),
+                     min(20, w // 4):w - min(20, w // 4)]
+        vmin, vmax = np.percentile(crop, 1), np.percentile(crop, 99)
+        crop = crop.clip(vmin, vmax)
+        crop = ((crop - crop.min()) / max(float(np.ptp(crop)), 1e-12)
+                * 255).astype(np.uint8)
+        writer.add_image(f"depth/pred/{it}", crop, iteration,
+                         dataformats="HW")
+        writer.add_image(f"seg/pred/{it}", seg[:, :, ::-1], iteration,
+                         dataformats="HWC")
 
 
 def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
@@ -148,6 +185,20 @@ def main(argv=None):
     print("done.")
 
     evaluate(net, dataset, eval_nums=args.max_images, no_bar=args.no_bar)
+
+    if args.autopsy:
+        import datetime
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError:
+            print("TensorBoard unavailable; skipping --autopsy.")
+            return
+        begin = datetime.datetime.now().strftime("%d%m%Y%H%M%S")
+        logpath = os.path.join(args.log_folder,
+                               "autopsy_" + begin + "_" + cfg.name)
+        os.makedirs(logpath, exist_ok=True)
+        writer = SummaryWriter(logpath)
+        tensorboard_visual_log(net, dataset, writer, 0, eval_nums=3)
 
 
 if __name__ == "__main__":

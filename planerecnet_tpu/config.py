@@ -84,6 +84,10 @@ class DatasetConfig(_FrozenBase):
     max_depth: Optional[float] = None
     # Scale applied to the camera intrinsics when back-projecting depth.
     scale_factor: Optional[float] = None
+    # category_id -> label mapping; None = identity over class_names
+    # (reference data/datasets.py:15-19).
+    label_map: Optional[Tuple[Tuple[int, int], ...]] = tuple(
+        PLANE_LABEL_MAP.items())
 
 
 dataset_base = DatasetConfig()
@@ -346,6 +350,9 @@ class PlaneRecNetConfig(_FrozenBase):
 
     # Compute dtype for conv/matmul heavy paths ("bfloat16" or "float32").
     compute_dtype: str = "float32"
+
+    # Fused Pallas dice/lava loss kernel: "auto" (on TPU), "on", "off".
+    fused_loss_kernel: str = "auto"
 
 
 PlaneRecNet_base_config = PlaneRecNetConfig()

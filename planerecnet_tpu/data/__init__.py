@@ -8,9 +8,12 @@ from planerecnet_tpu.data.datasets import (  # noqa: F401
     ScanNetDataset,
     build_dataset,
     collate_batch,
+    enforce_size,
     pad_instances,
 )
 from planerecnet_tpu.data.augmentations import (  # noqa: F401
     BaseTransform,
+    Pad,
+    ResizeAndPad,
     SSDAugmentation,
 )

@@ -80,6 +80,90 @@ class BaseTransform:
         return img, depth, masks, boxes, labels, plane_paras
 
 
+class ResizeAndPad:
+    """Aspect-preserving resize (long side = max_size) + mean-fill pad to a
+    max_size square, image in the top-left (reference Resize_and_Pad,
+    data/augmentations.py:34-102)."""
+
+    def __init__(self, cfg: PlaneRecNetConfig, mean=MEANS,
+                 resize_gt: bool = True, pad_gt: bool = True):
+        self.cfg = cfg
+        self.mean = np.asarray(mean, np.float32)
+        self.resize_gt = resize_gt
+        self.pad_gt = pad_gt
+
+    def __call__(self, image, depth, masks, boxes, labels, plane_paras):
+        cfg = self.cfg
+        size = cfg.max_size
+        img_h, img_w, channels = image.shape
+        if img_h == size and img_w == size:
+            return _discard_small(cfg, image, depth, masks, boxes, labels,
+                                  plane_paras)
+        if img_h > img_w:
+            height, width = size, int(img_w * (size / img_h))
+        else:
+            height, width = int(img_h * (size / img_w)), size
+        image = cv2.resize(image, (width, height))
+        depth = cv2.resize(depth, (width, height))
+        if self.resize_gt and masks.size:
+            m = cv2.resize(masks.transpose(1, 2, 0), (width, height))
+            masks = m[None] if m.ndim == 2 else m.transpose(2, 0, 1)
+            boxes = boxes.copy()
+            boxes[:, [0, 2]] *= width / img_w
+            boxes[:, [1, 3]] *= height / img_h
+
+        exp_img = np.zeros((size, size, channels), image.dtype)
+        exp_img[:, :, :] = self.mean
+        exp_img[:height, :width] = image
+        exp_depth = np.zeros((size, size), depth.dtype)
+        exp_depth[:height, :width] = depth
+        if self.pad_gt and masks.size:
+            exp_masks = np.zeros((masks.shape[0], size, size), masks.dtype)
+            exp_masks[:, :height, :width] = masks
+            masks = exp_masks
+        return _discard_small(cfg, exp_img, exp_depth, masks, boxes, labels,
+                              plane_paras)
+
+
+class Pad:
+    """Mean-fill pad to (height, width), image in the top-left
+    (reference Pad, data/augmentations.py:105-138)."""
+
+    def __init__(self, width: int, height: int, mean=MEANS,
+                 pad_gt: bool = True):
+        self.mean = np.asarray(mean, np.float32)
+        self.width = width
+        self.height = height
+        self.pad_gt = pad_gt
+
+    def __call__(self, image, depth, masks, boxes=None, labels=None,
+                 plane_paras=None):
+        im_h, im_w, channels = image.shape
+        exp_img = np.zeros((self.height, self.width, channels), image.dtype)
+        exp_img[:, :, :] = self.mean
+        exp_img[:im_h, :im_w] = image
+        exp_depth = np.zeros((self.height, self.width), depth.dtype)
+        exp_depth[:im_h, :im_w] = depth
+        if self.pad_gt and masks is not None and masks.size:
+            exp_masks = np.zeros((masks.shape[0], self.height, self.width),
+                                 masks.dtype)
+            exp_masks[:, :im_h, :im_w] = masks
+            masks = exp_masks
+        return exp_img, exp_depth, masks, boxes, labels, plane_paras
+
+
+def _discard_small(cfg, img, depth, masks, boxes, labels, plane_paras):
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    keep = (w > cfg.discard_box_width) & (h > cfg.discard_box_height)
+    masks = masks[keep]
+    boxes = boxes[keep]
+    labels = labels[keep]
+    if plane_paras is not None and plane_paras.size:
+        plane_paras = plane_paras[keep]
+    return img, depth, masks, boxes, labels, plane_paras
+
+
 # ---------------------------------------------------------------- pieces
 
 

@@ -48,14 +48,20 @@ def rle_to_mask(rle: Dict) -> np.ndarray:
 
     Accepts compressed (str counts) and uncompressed (list counts) RLE.
     COCO RLE is column-major: counts alternate runs of 0s and 1s down the
-    columns.
+    columns. Uses the C codec (planerecnet_tpu/native/rle.c) when available,
+    falling back to pure python.
     """
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
         if isinstance(counts, bytes):
             counts = counts.decode("ascii")
-        counts = _decode_rle_counts(counts)
+        native = _native_decode(counts)
+        counts = native if native is not None else _decode_rle_counts(counts)
+
+    mask = _native_fill(counts, h, w)
+    if mask is not None:
+        return mask
     flat = np.zeros(h * w, dtype=np.uint8)
     pos = 0
     val = 0
@@ -65,6 +71,22 @@ def rle_to_mask(rle: Dict) -> np.ndarray:
         pos += run
         val ^= 1
     return flat.reshape(w, h).T  # column-major -> (H, W)
+
+
+def _native_decode(s):
+    try:
+        from planerecnet_tpu.native import rle_decode_counts_native
+        return rle_decode_counts_native(s)
+    except Exception:
+        return None
+
+
+def _native_fill(counts, h, w):
+    try:
+        from planerecnet_tpu.native import rle_fill_native
+        return rle_fill_native(counts, h, w)
+    except Exception:
+        return None
 
 
 def mask_to_rle(mask: np.ndarray) -> Dict:

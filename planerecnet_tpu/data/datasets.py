@@ -30,8 +30,12 @@ from planerecnet_tpu.data.coco import COCO
 
 
 def get_label_map(cfg: PlaneRecNetConfig) -> Dict[int, int]:
-    """Reference data/datasets.py:15-19 (PLANE_LABEL_MAP = {1: 1})."""
-    return {1: 1}
+    """category_id -> label map (reference data/datasets.py:15-19)."""
+    lm = cfg.dataset.label_map
+    if lm is None:
+        return {x + 1: x + 1
+                for x in range(len(cfg.dataset.class_names))}
+    return dict(lm)
 
 
 class PlaneAnnoDataset:
@@ -57,6 +61,23 @@ class PlaneAnnoDataset:
 
     def __getitem__(self, index: int):
         return self.pull_item(index)
+
+    def pull_image(self, index: int) -> np.ndarray:
+        """Original BGR image (reference datasets.py:126-132)."""
+        img_id = self.ids[index]
+        path = self.coco.loadImgs(img_id)[0]["file_name"]
+        return cv2.imread(osp.join(self.root, path), cv2.IMREAD_COLOR)
+
+    def pull_depth(self, index: int) -> np.ndarray:
+        """Original uint16 depth map (reference datasets.py:134-144)."""
+        img_id = self.ids[index]
+        img_path = self.coco.loadImgs(img_id)[0]["file_name"]
+        return cv2.imread(self.get_depth_path(img_path), cv2.IMREAD_ANYDEPTH)
+
+    def pull_anno(self, index: int):
+        """Original annotations (reference datasets.py:147-157)."""
+        img_id = self.ids[index]
+        return self.coco.loadAnns(self.coco.getAnnIds(imgIds=img_id))
 
     # -- path conventions overridden per dataset --
     def get_depth_path(self, rgb_file_name: str) -> str:
@@ -247,6 +268,58 @@ def collate_batch(cfg: PlaneRecNetConfig, samples: List) -> Dict[str, np.ndarray
     # losses.py:157-160 takes [:, :3] and [:, 3]).
     batch["plane_paras"] = batch["plane_paras"][:, :, :4]
     return batch
+
+
+def enforce_size(cfg: PlaneRecNetConfig, img: np.ndarray,
+                 depth: np.ndarray, instances: Dict, new_w: int,
+                 new_h: int):
+    """Aspect-preserving resize + top-left zero pad to (new_h, new_w)
+    (reference data/datasets.py:276-316, numpy/cv2 instead of torch)."""
+    h, w = img.shape[:2]
+    if h == new_h and w == new_w:
+        return img, depth, instances
+
+    w_prime = new_w
+    h_prime = h * new_w / w
+    if h_prime > new_h:
+        w_prime *= new_h / h_prime
+        h_prime = new_h
+    w_prime, h_prime = int(w_prime), int(h_prime)
+
+    img = cv2.resize(img, (w_prime, h_prime), interpolation=cv2.INTER_LINEAR)
+    depth = cv2.resize(depth, (w_prime, h_prime),
+                       interpolation=cv2.INTER_LINEAR)
+    masks = instances["masks"]
+    if masks.size:
+        m = cv2.resize(masks.transpose(1, 2, 0), (w_prime, h_prime),
+                       interpolation=cv2.INTER_LINEAR)
+        masks = m[None] if m.ndim == 2 else m.transpose(2, 0, 1)
+
+    boxes = instances["boxes"].copy()
+    boxes[:, [0, 2]] *= w_prime / new_w
+    boxes[:, [1, 3]] *= h_prime / new_h
+
+    def pad2(x, tgt_h, tgt_w):
+        out = np.zeros(x.shape[:-2] + (tgt_h, tgt_w) if x.ndim == 3
+                       else (tgt_h, tgt_w) + x.shape[2:], x.dtype)
+        if x.ndim == 3:
+            out[:, :x.shape[1], :x.shape[2]] = x
+        else:
+            out[:x.shape[0], :x.shape[1], ...] = x
+        return out
+
+    img_p = np.zeros((new_h, new_w) + img.shape[2:], img.dtype)
+    img_p[:h_prime, :w_prime] = img
+    depth_p = np.zeros((new_h, new_w) + depth.shape[2:], depth.dtype)
+    depth_p[:h_prime, :w_prime] = depth
+    masks_p = np.zeros((masks.shape[0], new_h, new_w), masks.dtype)
+    if masks.size:
+        masks_p[:, :h_prime, :w_prime] = masks
+
+    out = dict(instances)
+    out["masks"] = masks_p
+    out["boxes"] = boxes
+    return img_p, depth_p, out
 
 
 class BatchIterator:

@@ -346,6 +346,16 @@ def compute_losses(cfg: PlaneRecNetConfig,
     num_ins = 0.0
     mask_flat = mask_pred.reshape(b, hm * wm, n_k)
 
+    use_fused = cfg.fused_loss_kernel == "on" or (
+        cfg.fused_loss_kernel == "auto"
+        and jax.default_backend() == "tpu")
+    if use_fused:
+        from planerecnet_tpu.ops.pallas.dice_lava import fused_dice_lava
+        n_inst = targets_flat.shape[1]
+        target_areas = jnp.sum(targets_flat, axis=2)         # (B, N) Σt²=Σt
+        if not need_lava:
+            grad_low_flat = jnp.zeros((b, hm * wm), jnp.float32)
+
     for lvl in range(num_levels):
         kp = kernel_preds[lvl].astype(jnp.float32).reshape(b, -1, n_k)
         cells = gt["pos_cells"][lvl]                         # (B, P)
@@ -353,18 +363,31 @@ def compute_losses(cfg: PlaneRecNetConfig,
         pvalid = gt["pos_valids"][lvl].astype(jnp.float32)
 
         k_sel = jnp.take_along_axis(kp, cells[..., None], axis=1)  # (B,P,K)
-        logits = jnp.einsum("bpk,bqk->bpq", k_sel, mask_flat,
-                            preferred_element_type=jnp.float32)    # (B,P,Hm*Wm)
-        probs = jax.nn.sigmoid(logits)
 
-        tgt = jnp.take_along_axis(
-            targets_flat, insts[..., None], axis=1)                # (B,P,Hm*Wm)
-        d = dice_loss(probs, tgt)                                  # (B, P)
+        if use_fused:
+            # Fused Pallas kernel: streams the (B,P,Hm*Wm) probabilities
+            # through VMEM instead of materialising them.
+            onehot = (jax.nn.one_hot(insts, n_inst, dtype=jnp.float32)
+                      * pvalid[..., None])
+            a, bb, dots = fused_dice_lava(
+                k_sel, mask_flat, onehot, targets_flat, grad_low_flat)
+            c = jnp.take_along_axis(target_areas, insts, axis=1)
+            d = 1.0 - (2 * a) / ((bb + 0.001) + (c + 0.001))   # (B, P)
+        else:
+            logits = jnp.einsum(
+                "bpk,bqk->bpq", k_sel, mask_flat,
+                preferred_element_type=jnp.float32)            # (B,P,Hm*Wm)
+            probs = jax.nn.sigmoid(logits)
+            tgt = jnp.take_along_axis(
+                targets_flat, insts[..., None], axis=1)        # (B,P,Hm*Wm)
+            d = dice_loss(probs, tgt)                          # (B, P)
+            if need_lava:
+                dots = jnp.einsum("bpq,bq->bp", probs, grad_low_flat)
+
         dice_sum = dice_sum + jnp.sum(d * pvalid)
         dice_cnt = dice_cnt + jnp.sum(pvalid)
 
         if need_lava:
-            dots = jnp.einsum("bpq,bq->bp", probs, grad_low_flat)
             lava_dot = lava_dot + jnp.sum(dots * pvalid, axis=1)
             lava_cnt = lava_cnt + jnp.sum(pvalid, axis=1)
 

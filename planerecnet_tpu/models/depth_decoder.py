@@ -17,6 +17,13 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import flax.linen as nn
+
+import functools as _functools
+
+# Non-backbone convs are xavier-uniform initialised with zero bias
+# (reference planerecnet.py:135-145 init_weights).
+_XAVIER = nn.initializers.xavier_uniform()
+XConv = _functools.partial(nn.Conv, kernel_init=_XAVIER)
 import jax
 import jax.numpy as jnp
 
@@ -48,7 +55,7 @@ class DepthDecoderFPN(nn.Module):
                            preferred_element_type=jnp.float32)
         masks = jax.lax.stop_gradient(jax.nn.sigmoid(masks)).astype(seg.dtype)
 
-        masks = nn.Conv(256, (1, 1), dtype=self.dtype,
+        masks = XConv(256, (1, 1), dtype=self.dtype,
                         name="conv1x1")(masks)
         mh, mw = masks.shape[1] // 4, masks.shape[2] // 4
         masks = resize_bilinear(masks, (mh, mw))
@@ -61,26 +68,26 @@ class DepthDecoderFPN(nn.Module):
                                      name=name)(x, train=train)
 
         # Coarsest level.
-        x = nn.Conv(256, (1, 1), dtype=self.dtype, name="latlayer1")(feats[0])
+        x = XConv(256, (1, 1), dtype=self.dtype, name="latlayer1")(feats[0])
         x = ReflectConvBNReLU(256, dtype=self.dtype, name="conv1")(x, train=train)
         x = deconv(x, 256, "deconv1")
 
         x = jnp.concatenate([x, x * masks], axis=-1)
         x = ReflectConvBNReLU(128, dtype=self.dtype, name="refine_conv")(x, train=train)
 
-        l2 = nn.Conv(256, (1, 1), dtype=self.dtype, name="latlayer2")(feats[1])
+        l2 = XConv(256, (1, 1), dtype=self.dtype, name="latlayer2")(feats[1])
         l2 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv2")(l2, train=train)
         x = deconv(jnp.concatenate([l2, x], axis=-1), 128, "deconv2")
 
-        l3 = nn.Conv(256, (1, 1), dtype=self.dtype, name="latlayer3")(feats[2])
+        l3 = XConv(256, (1, 1), dtype=self.dtype, name="latlayer3")(feats[2])
         l3 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv3")(l3, train=train)
         x = deconv(jnp.concatenate([l3, x], axis=-1), 128, "deconv3")
 
-        l4 = nn.Conv(256, (1, 1), dtype=self.dtype, name="latlayer4")(feats[3])
+        l4 = XConv(256, (1, 1), dtype=self.dtype, name="latlayer4")(feats[3])
         l4 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv4")(l4, train=train)
         x = deconv(jnp.concatenate([l4, x], axis=-1), 64, "deconv4")
 
         x = reflect_pad(x, 1)
-        x = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
+        x = XConv(1, (3, 3), padding="VALID", dtype=self.dtype,
                     name="depth_pred")(x)
         return jax.nn.softplus(x)

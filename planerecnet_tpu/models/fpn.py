@@ -11,6 +11,13 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+import functools as _functools
+
+# Non-backbone convs are xavier-uniform initialised with zero bias
+# (reference planerecnet.py:135-145 init_weights).
+_XAVIER = nn.initializers.xavier_uniform()
+XConv = _functools.partial(nn.Conv, kernel_init=_XAVIER)
 import jax.numpy as jnp
 
 from planerecnet_tpu.config import FPNConfig
@@ -32,7 +39,7 @@ class FPN(nn.Module):
         laterals = []
         x = None
         for i in range(self.start_level, self.num_ins):
-            lat = nn.Conv(self.num_features, (1, 1), dtype=self.dtype,
+            lat = XConv(self.num_features, (1, 1), dtype=self.dtype,
                           name=f"lateral_conv{i - self.start_level}")(
                               inputs[i])
             if x is not None:
@@ -45,7 +52,7 @@ class FPN(nn.Module):
 
         outs = []
         for i, lat in enumerate(laterals):
-            p = nn.Conv(self.num_features, (3, 3), dtype=self.dtype,
+            p = XConv(self.num_features, (3, 3), dtype=self.dtype,
                         padding=[(1, 1), (1, 1)], name=f"fpn_conv{i}")(lat)
             if self.relu_pred_layers:
                 p = nn.relu(p)
@@ -56,10 +63,10 @@ class FPN(nn.Module):
             # (reference fpn.py:66).
             outs.append(outs[-1][:, ::2, ::2, :])
         elif self.high_level_mode == "retina":
-            p6 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
+            p6 = XConv(self.num_features, (3, 3), strides=(2, 2),
                          dtype=self.dtype,
                          padding=[(1, 1), (1, 1)], name="downsample0")(outs[-1])
-            p7 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
+            p7 = XConv(self.num_features, (3, 3), strides=(2, 2),
                          dtype=self.dtype,
                          padding=[(1, 1), (1, 1)], name="downsample1")(
                              nn.relu(p6))

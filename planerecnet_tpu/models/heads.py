@@ -6,6 +6,13 @@ import math
 from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+import functools as _functools
+
+# Non-backbone convs are xavier-uniform initialised with zero bias
+# (reference planerecnet.py:135-145 init_weights).
+_XAVIER = nn.initializers.xavier_uniform()
+XConv = _functools.partial(nn.Conv, kernel_init=_XAVIER)
 import jax.numpy as jnp
 
 from planerecnet_tpu.config import SOLOv2Config
@@ -44,7 +51,7 @@ class SOLOv2InsHead(nn.Module):
             stages = []
             for i in range(c.num_instance_convs):
                 stages.append((
-                    nn.Conv(c.instance_channels, (3, 3),
+                    XConv(c.instance_channels, (3, 3),
                             padding=[(1, 1), (1, 1)],
                             use_bias=False,  # norm == GN
                             dtype=self.dtype,
@@ -58,11 +65,11 @@ class SOLOv2InsHead(nn.Module):
                 x = nn.relu(gn(conv(x)))
             return x
 
-        cate_out = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+        cate_out = XConv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
                            bias_init=nn.initializers.constant(
                                bias_init_with_prob(c.focal_loss_init_pi)),
                            dtype=self.dtype, name="cate_pred")
-        kernel_out = nn.Conv(c.num_kernels, (3, 3), padding=[(1, 1), (1, 1)],
+        kernel_out = XConv(c.num_kernels, (3, 3), padding=[(1, 1), (1, 1)],
                              dtype=self.dtype, name="kernel_pred")
 
         for idx, feat in enumerate(features):
@@ -102,7 +109,7 @@ class SOLOv2MaskHead(nn.Module):
         assert len(features) == num_levels
 
         def conv_gn_relu(x, feats, name):
-            x = nn.Conv(feats, (3, 3), padding=[(1, 1), (1, 1)],
+            x = XConv(feats, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype,
                         name=f"{name}_conv")(x)
             x = nn.GroupNorm(num_groups=32, name=f"{name}_gn")(x)
@@ -123,7 +130,7 @@ class SOLOv2MaskHead(nn.Module):
                 x = resize_bilinear(x, (2 * h, 2 * w))
             out = out + x
 
-        out = nn.Conv(c.num_masks, (1, 1), use_bias=False, dtype=self.dtype,
+        out = XConv(c.num_masks, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv_pred_conv")(out)
         out = nn.GroupNorm(num_groups=32, name="conv_pred_gn")(out)
         return nn.relu(out)

@@ -11,6 +11,13 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+import functools as _functools
+
+# Non-backbone convs are xavier-uniform initialised with zero bias
+# (reference planerecnet.py:135-145 init_weights).
+_XAVIER = nn.initializers.xavier_uniform()
+XConv = _functools.partial(nn.Conv, kernel_init=_XAVIER)
 import jax
 import jax.numpy as jnp
 
@@ -99,7 +106,7 @@ class ReflectConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = reflect_pad(x, 1)
-        x = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
+        x = XConv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32, name="bn")(x)

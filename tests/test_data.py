@@ -164,3 +164,45 @@ def test_mirror_flips_boxes_and_normals():
     np.testing.assert_allclose(boxes2[0], [20 - 8, 2, 20 - 3, 5])
     np.testing.assert_allclose(planes2[0], [-1, 0, 0, 2])
     assert masks2[0, 2:5, 20 - 8:20 - 3].all()
+
+
+def test_resize_and_pad_and_enforce_size():
+    from planerecnet_tpu.data import Pad, ResizeAndPad, enforce_size
+
+    cfg = PlaneRecNet_50_config.copy(dict(max_size=64))
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 48, 3).astype(np.float32) * 255
+    depth = rng.rand(32, 48).astype(np.float32)
+    masks = np.zeros((1, 32, 48), np.float32)
+    masks[0, 8:24, 8:40] = 1
+    boxes = np.array([[8.0, 8.0, 40.0, 24.0]], np.float32)
+    labels = np.array([0])
+    planes = np.zeros((1, 4), np.float32)
+
+    out = ResizeAndPad(cfg)(img, depth, masks, boxes, labels, planes)
+    img2, depth2, masks2, boxes2 = out[:4]
+    assert img2.shape == (64, 64, 3)
+    assert depth2.shape == (64, 64)
+    assert masks2.shape[1:] == (64, 64)
+    # aspect preserved: 32x48 -> 42x64; rows beyond 42 are mean fill
+    assert np.allclose(img2[50, 50], np.asarray([103.94, 116.78, 123.68]),
+                       atol=1e-3)
+
+    img3, depth3, masks3, *_ = Pad(80, 70)(img, depth, masks, boxes, labels,
+                                           planes)
+    assert img3.shape == (70, 80, 3) and masks3.shape == (1, 70, 80)
+
+    inst = {"masks": masks, "boxes": boxes.copy(), "classes": labels,
+            "plane_paras": planes, "k_matrix": np.eye(3, dtype=np.float32)}
+    img4, depth4, inst4 = enforce_size(cfg, img, depth, inst, 64, 64)
+    assert img4.shape == (64, 64, 3)
+    assert inst4["masks"].shape == (1, 64, 64)
+
+
+def test_label_map_identity_when_none():
+    from planerecnet_tpu.data.datasets import get_label_map
+
+    cfg = PlaneRecNet_50_config
+    cfg2 = cfg.copy(dict(dataset=cfg.dataset.copy(dict(label_map=None))))
+    assert get_label_map(cfg2) == {1: 1}
+    assert get_label_map(cfg) == {1: 1}

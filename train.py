@@ -28,6 +28,56 @@ LOSS_TYPES = ["ins", "lav", "cat", "dpt", "pln"]
 args = None
 
 
+def compute_validation_metrics(cfg, state, eval_nums, no_bar=True):
+    """Per-epoch validation via the eval stack (reference train.py:396-402,
+    440-448): runs mAP + depth metrics on the valid split with the current
+    parameters."""
+    from planerecnet_tpu.data import BaseTransform, build_dataset
+    from planerecnet_tpu.runner import PlaneRecNetRunner
+    import eval as eval_script
+
+    try:
+        dataset = build_dataset(cfg, "valid", transform=BaseTransform(cfg))
+    except (FileNotFoundError, AssertionError) as e:
+        print(f"Validation skipped: {e}")
+        return None
+    net = PlaneRecNetRunner(cfg)
+    net._variables = {"params": state.params,
+                      "batch_stats": state.batch_stats}
+    return eval_script.evaluate(net, dataset, during_training=True,
+                                eval_nums=eval_nums, no_bar=no_bar)
+
+
+def log_visual_example(cfg, state, writer, iteration, num_images=2):
+    """Predicted seg/depth panels to TensorBoard every few thousand iters
+    (reference train.py:463-472, eval.py:132-161)."""
+    from planerecnet_tpu.data import BaseTransform, build_dataset
+    from planerecnet_tpu.runner import PlaneRecNetRunner
+    from simple_inference import _valid_result, display_on_frame
+
+    try:
+        dataset = build_dataset(cfg, "valid", transform=BaseTransform(cfg))
+    except (FileNotFoundError, AssertionError):
+        return
+    net = PlaneRecNetRunner(cfg)
+    net._variables = {"params": state.params,
+                      "batch_stats": state.batch_stats}
+    from planerecnet_tpu.ops.postprocess import postprocess_batch
+    for i in range(min(num_images, len(dataset))):
+        image, _, _ = dataset[i]
+        preds = net.model.apply(net._variables, image[None], train=False)
+        batched = postprocess_batch(preds, cfg, image.shape[:2])
+        result = _valid_result(batched, 0)
+        vis = ((image - image.min()) / max(float(np.ptp(image)), 1e-6) * 255)
+        seg, depth = display_on_frame(result, vis.astype("float32"), cfg,
+                                      mask_alpha=0.35)
+        depth = (depth - depth.min()) / max(float(np.ptp(depth)), 1e-6)
+        writer.add_image(f"seg/pred/{i}", seg[:, :, ::-1], iteration,
+                         dataformats="HWC")
+        writer.add_image(f"depth/pred/{i}", (depth * 255).astype("uint8"),
+                         iteration, dataformats="HW")
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(
         description="PlaneRecNet Training Script")
@@ -162,6 +212,7 @@ def main(argv=None):
     save_path = lambda epoch, it: SavePath(  # noqa: E731
         cfg.name, epoch, it).get_path(root=args.save_folder)
     latest_saved = None
+    delayed = [(it, ov) for it, ov in cfg.delayed_settings]
 
     # SIGINT sets a flag checked each iteration: a ctrl-C that lands inside
     # an XLA dispatch cannot reliably surface as KeyboardInterrupt in this
@@ -185,6 +236,18 @@ def main(argv=None):
                     break
                 if iteration == cfg.max_iter:
                     break
+
+                # Apply delayed config settings at their iteration
+                # (reference train.py:319-332); the jitted step is rebuilt
+                # because the config is a static jit argument.
+                pending = [c for c in delayed if iteration >= c[0]]
+                if pending:
+                    for _, overrides in pending:
+                        cfg = cfg.copy(dict(overrides))
+                    delayed = [c for c in delayed if iteration < c[0]]
+                    step_fn = jit_train_step(cfg, mesh)
+                    for avg in loss_avgs.values():
+                        avg.reset()
 
                 if mesh is not None:
                     state, batch = step_fn.shard_args(state, batch)
@@ -213,6 +276,9 @@ def main(argv=None):
                 if writer is not None and iteration % 50 == 0:
                     for k, v in losses.items():
                         writer.add_scalar(f"loss/{k}", v, iteration)
+                if writer is not None and iteration % 5000 == 0 \
+                        and iteration > 0:
+                    log_visual_example(cfg, state, writer, iteration)
 
                 if iteration % args.save_interval == 0 and iteration > 0:
                     if args.keep_latest and latest_saved is not None:
@@ -226,8 +292,14 @@ def main(argv=None):
                     print(f"Saving state, iter: {iteration}")
                     latest_saved = save_path(epoch, iteration)
                     save_train_state(latest_saved, state)
-            else:
-                continue
+
+            if iteration == cfg.max_iter:
+                break
+
+            # Per-epoch validation (reference train.py:396-402).
+            if args.validation_epoch > 0 and \
+                    (epoch + 1) % args.validation_epoch == 0:
+                compute_validation_metrics(cfg, state, args.validation_size)
     except KeyboardInterrupt:
         if args.interrupt:
             print("Stopping early. Saving network...")
