@@ -354,6 +354,11 @@ class PlaneRecNetConfig(_FrozenBase):
     # Fused Pallas dice/lava loss kernel: "auto" (on TPU), "on", "off".
     fused_loss_kernel: str = "auto"
 
+    # Rematerialize backbone blocks under autodiff (jax.checkpoint): trades
+    # ~30% backward FLOPs for activation memory so the reference's bs=8
+    # 640x640 training fits one 16GB v5e chip. Free at inference (no grad).
+    remat_backbone: bool = True
+
 
 PlaneRecNet_base_config = PlaneRecNetConfig()
 

@@ -4,6 +4,7 @@ from planerecnet_tpu.data.datasets import (  # noqa: F401
     BatchIterator,
     NYUDataset,
     PlaneAnnoDataset,
+    PrefetchIterator,
     S2D3DSDataset,
     ScanNetDataset,
     build_dataset,

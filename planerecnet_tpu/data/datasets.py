@@ -322,6 +322,47 @@ def enforce_size(cfg: PlaneRecNetConfig, img: np.ndarray,
     return img_p, depth_p, out
 
 
+class PrefetchIterator:
+    """Background-thread prefetcher: overlaps host-side loading/augmentation
+    (and optional ``jax.device_put``) with device compute.
+
+    The TPU equivalent of the reference's ``DataLoader(num_workers=2,
+    pin_memory=True)`` (train.py:290-293): while the jitted step runs on
+    device, the next batch is decoded, augmented, collated and shipped.
+    """
+
+    def __init__(self, iterable, buffer_size: int = 2,
+                 to_device: bool = True):
+        self.iterable = iterable
+        self.buffer_size = buffer_size
+        self.to_device = to_device
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.buffer_size)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in self.iterable:
+                    if self.to_device:
+                        import jax
+                        item = jax.device_put(item)
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+
 class BatchIterator:
     """Shuffled epoch iterator yielding fixed-shape batches."""
 

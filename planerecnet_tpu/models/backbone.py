@@ -167,6 +167,7 @@ class ResNetBackbone(nn.Module):
     dcn_interval: int = 1
     extra_layers: int = 0
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -185,19 +186,23 @@ class ResNetBackbone(nn.Module):
 
         outs = []
         inplanes = 64
+        # Under remat, each bottleneck's activations are recomputed in the
+        # backward pass instead of stored (jax.checkpoint via nn.remat).
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
         plan = _stage_plan(self.layers, self.dcn_layers, self.dcn_interval)
         for s, (planes, blocks, stride, dcn_flags) in enumerate(plan):
             for i in range(blocks):
                 if i == 0:
                     has_ds = stride != 1 or inplanes != planes * 4
-                    x = Bottleneck(planes, stride=stride, has_downsample=has_ds,
-                                   use_dcn=dcn_flags[i], dtype=self.dtype,
-                                   name=f"layer{s}_{i}")(x, train=train)
+                    x = block_cls(planes, stride=stride, has_downsample=has_ds,
+                                  use_dcn=dcn_flags[i], dtype=self.dtype,
+                                  name=f"layer{s}_{i}")(x, train)
                     inplanes = planes * 4
                 else:
-                    x = Bottleneck(planes, use_dcn=dcn_flags[i],
-                                   dtype=self.dtype,
-                                   name=f"layer{s}_{i}")(x, train=train)
+                    x = block_cls(planes, use_dcn=dcn_flags[i],
+                                  dtype=self.dtype,
+                                  name=f"layer{s}_{i}")(x, train)
             outs.append(x)
 
         for e in range(self.extra_layers):
@@ -208,7 +213,8 @@ class ResNetBackbone(nn.Module):
         return tuple(outs)
 
 
-def construct_backbone(cfg: BackboneConfig, dtype=None) -> ResNetBackbone:
+def construct_backbone(cfg: BackboneConfig, dtype=None,
+                       remat: bool = False) -> ResNetBackbone:
     """Build a backbone from a config (reference backbone.py:233-243)."""
     num_layers = max(cfg.selected_layers) + 1
     extra = max(0, num_layers - len(cfg.layers))
@@ -216,4 +222,5 @@ def construct_backbone(cfg: BackboneConfig, dtype=None) -> ResNetBackbone:
                           dcn_layers=tuple(cfg.dcn_layers),
                           dcn_interval=cfg.dcn_interval,
                           extra_layers=extra,
-                          dtype=dtype)
+                          dtype=dtype,
+                          remat=remat)

@@ -40,11 +40,16 @@ class PlaneRecNet(nn.Module):
           ``depth_pred``:   (B, H/2, W/2, 1) softplus depth
         """
         cfg = self.cfg
-        bb_train = train and not cfg.freeze_bn
+        # freeze_bn puts EVERY BatchNorm (backbone and depth decoder) in
+        # running-stats mode (reference planerecnet.py:147-153 freeze_bn
+        # iterates all modules; enabled when per-device batch < 6,
+        # train.py:115-118).
+        bn_train = train and not cfg.freeze_bn
         dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
 
-        backbone = construct_backbone(cfg.backbone, dtype=dtype)
-        feats_enc = backbone.copy(name="backbone")(x, train=bb_train)
+        backbone = construct_backbone(cfg.backbone, dtype=dtype,
+                              remat=cfg.remat_backbone)
+        feats_enc = backbone.copy(name="backbone")(x, train=bn_train)
 
         fpn_inputs = [feats_enc[i] for i in cfg.fpn.selected_layers]
         fpn = build_fpn(cfg.fpn, len(fpn_inputs), dtype=dtype)
@@ -73,7 +78,7 @@ class PlaneRecNet(nn.Module):
         depth_inputs = [feats_enc[i] for i in cfg.depth.selected_layers]
         depth_pred = DepthDecoderFPN(cfg.solov2, dtype=dtype,
                                      name="depth_decoder")(
-            depth_inputs, mask_pred, kernel_preds, train=train)
+            depth_inputs, mask_pred, kernel_preds, train=bn_train)
 
         return {
             "cate_preds": cate_preds,

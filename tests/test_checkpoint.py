@@ -107,3 +107,79 @@ def test_dcn_blocks_have_offset_convs(small_model):
                   and "offset_conv" in v["conv2"]]
     # stage 1: 4 blocks, stage 2: 6, stage 3: 3 -> all DCN (interval 1)
     assert len(dcn_blocks) == 13
+
+
+def test_converted_conv_bn_matches_torch_numerics():
+    """Weight conversion fidelity: a torch Conv2d+BatchNorm2d(eval) pipeline
+    and the flax twin under converted weights produce identical outputs
+    (validates OIHW->HWIO, BN stat mapping, NCHW<->NHWC)."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as fnn
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)  # NCHW for torch
+
+    tconv = torch.nn.Conv2d(3, 8, 3, stride=2, padding=1, bias=True)
+    tbn = torch.nn.BatchNorm2d(8, eps=1e-5)
+    tbn.eval()
+    with torch.no_grad():
+        tbn.running_mean.normal_()
+        tbn.running_var.uniform_(0.5, 2.0)
+        tbn.weight.normal_()
+        tbn.bias.normal_()
+        want = tbn(tconv(torch.from_numpy(x))).numpy()
+
+    class Twin(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = fnn.Conv(8, (3, 3), strides=(2, 2),
+                         padding=[(1, 1), (1, 1)], name="conv")(x)
+            return fnn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                                 name="bn")(x)
+
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    m = Twin()
+    variables = {
+        "params": {
+            "conv": {
+                "kernel": jnp.asarray(np.transpose(
+                    tconv.weight.detach().numpy(), (2, 3, 1, 0))),
+                "bias": jnp.asarray(tconv.bias.detach().numpy()),
+            },
+            "bn": {
+                "scale": jnp.asarray(tbn.weight.detach().numpy()),
+                "bias": jnp.asarray(tbn.bias.detach().numpy()),
+            },
+        },
+        "batch_stats": {
+            "bn": {
+                "mean": jnp.asarray(tbn.running_mean.numpy()),
+                "var": jnp.asarray(tbn.running_var.numpy()),
+            },
+        },
+    }
+    got = np.transpose(np.asarray(m.apply(variables, x_nhwc)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_converted_groupnorm_matches_torch():
+    torch = pytest.importorskip("torch")
+    import flax.linen as fnn
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 64, 8, 8).astype(np.float32)
+    tgn = torch.nn.GroupNorm(32, 64)
+    with torch.no_grad():
+        tgn.weight.normal_()
+        tgn.bias.normal_()
+        want = tgn(torch.from_numpy(x)).numpy()
+
+    m = fnn.GroupNorm(num_groups=32, epsilon=1e-5)
+    variables = {"params": {
+        "scale": jnp.asarray(tgn.weight.detach().numpy()),
+        "bias": jnp.asarray(tgn.bias.detach().numpy())}}
+    got = np.transpose(
+        np.asarray(m.apply(variables,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))))),
+        (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

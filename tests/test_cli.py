@@ -93,3 +93,36 @@ def test_bench_json_shape(monkeypatch, capsys):
     payload = json.loads(out[-1])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["value"] > 0
+
+
+def test_ibims1_pipelines(tmp_path, monkeypatch):
+    """iBims-1 .mat reader/writer + PCA plane-depth re-render
+    (reference simple_inference.py:202-324)."""
+    scipy_io = pytest.importorskip("scipy.io")
+    import simple_inference
+    from planerecnet_tpu.runner import PlaneRecNetRunner
+
+    in_dir = tmp_path / "ibims_in"
+    out_dir = tmp_path / "ibims_out"
+    in_dir.mkdir()
+    rng = np.random.RandomState(0)
+    rgb = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    calib = np.array([[50.0, 0, 0], [0, 50.0, 0], [32.0, 32.0, 1.0]])
+    data = np.zeros((1, 1), dtype=[("rgb", "O"), ("calib", "O")])
+    data["rgb"][0, 0] = rgb
+    data["calib"][0, 0] = calib
+    scipy_io.savemat(str(in_dir / "scene1.mat"), {"data": data})
+
+    net = PlaneRecNetRunner(_tiny_cfg(solov2=_tiny_cfg().solov2.copy(
+        dict(score_thr=0.01, update_thr=0.01))))
+    simple_inference.ibims1(net, str(in_dir), str(out_dir))
+    assert (out_dir / "scene1_results.mat").exists()
+    assert (out_dir / "scene1_results.png").exists()
+    pred = scipy_io.loadmat(str(out_dir / "scene1_results.mat"))
+    assert pred["pred_depths"].shape == (64, 64)
+
+    out_dir2 = tmp_path / "ibims_pd_out"
+    simple_inference.ibims1_pd(net, str(in_dir), str(out_dir2))
+    assert (out_dir2 / "scene1_results.mat").exists()
+    pred2 = scipy_io.loadmat(str(out_dir2 / "scene1_results.mat"))
+    assert pred2["pred_depths"].shape == (64, 64)

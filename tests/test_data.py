@@ -206,3 +206,15 @@ def test_label_map_identity_when_none():
     cfg2 = cfg.copy(dict(dataset=cfg.dataset.copy(dict(label_map=None))))
     assert get_label_map(cfg2) == {1: 1}
     assert get_label_map(cfg) == {1: 1}
+
+
+def test_prefetch_iterator():
+    from planerecnet_tpu.data import PrefetchIterator
+
+    src = [{"a": np.ones((2, 2)) * i} for i in range(5)]
+    out = list(PrefetchIterator(src, buffer_size=2, to_device=False))
+    assert len(out) == 5
+    for i, item in enumerate(out):
+        np.testing.assert_array_equal(item["a"], np.ones((2, 2)) * i)
+    # re-iterable
+    assert len(list(PrefetchIterator(src, to_device=False))) == 5

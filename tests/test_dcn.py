@@ -105,3 +105,103 @@ def test_deform_conv_grads_flow():
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_custom_vjp_matches_autodiff(monkeypatch):
+    """The hand-written DCN backward must match plain autodiff of the
+    reference implementation on all five inputs."""
+    import planerecnet_tpu.ops.dcn as dcn_mod
+    from planerecnet_tpu.ops.dcn import deform_conv2d_reference
+    monkeypatch.setattr(dcn_mod, "USE_CUSTOM_VJP", True)
+
+    rng = np.random.RandomState(3)
+    b, h, w, cin, cout = 2, 9, 8, 4, 6
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    offset = jnp.asarray(rng.randn(b, h, w, 18).astype(np.float32) * 1.5)
+    mask = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * .1)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    cot = jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
+
+    def loss_custom(*args):
+        return jnp.sum(deform_conv2d(*args, stride=1, padding=1) * cot)
+
+    def loss_ref(*args):
+        return jnp.sum(deform_conv2d_reference(*args, stride=1, padding=1)
+                       * cot)
+
+    g_c = jax.grad(loss_custom, argnums=(0, 1, 2, 3, 4))(
+        x, offset, mask, weight, bias)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, offset, mask, weight, bias)
+    names = ["dx", "doffset", "dmask", "dweight", "dbias"]
+    for n, a, b_ in zip(names, g_c, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4, err_msg=n)
+
+
+def test_custom_vjp_zero_offsets_integer_positions(monkeypatch):
+    """Offset gradients at exactly-integer sample positions (the zero-init
+    state) must include the neighbouring-pixel terms."""
+    import planerecnet_tpu.ops.dcn as dcn_mod
+    from planerecnet_tpu.ops.dcn import deform_conv2d_reference
+    monkeypatch.setattr(dcn_mod, "USE_CUSTOM_VJP", True)
+
+    rng = np.random.RandomState(4)
+    b, h, w, cin, cout = 1, 6, 6, 3, 4
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    offset = jnp.zeros((b, h, w, 18), jnp.float32)
+    mask = jnp.ones((b, h, w, 9), jnp.float32)
+    weight = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * .1)
+    cot = jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
+
+    g_c = jax.grad(lambda o: jnp.sum(
+        deform_conv2d(x, o, mask, weight, None, stride=1, padding=1) * cot))(
+            offset)
+    g_r = jax.grad(lambda o: jnp.sum(
+        deform_conv2d_reference(x, o, mask, weight, None, stride=1,
+                                padding=1) * cot))(offset)
+    assert np.abs(np.asarray(g_r)).max() > 0
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_r),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_scatter_matches_xla(monkeypatch):
+    """The Pallas dx scatter kernel vs the XLA fallback (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from planerecnet_tpu.ops.pallas.dcn_scatter import (
+        dcn_input_grad_pallas, dcn_input_grad_xla)
+
+    rng = np.random.RandomState(5)
+    b, r, c, h, w = 2, 100, 8, 7, 9
+    idx = np.stack([rng.randint(0, h + 1, (b, r)),
+                    rng.randint(0, w + 1, (b, r))], axis=-1).astype(np.int32)
+    cw = rng.rand(b, r, 4).astype(np.float32)
+    dcols = rng.randn(b, r, c).astype(np.float32)
+
+    want = np.asarray(dcn_input_grad_xla(
+        jnp.asarray(idx), jnp.asarray(cw), jnp.asarray(dcols), h, w))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(dcn_input_grad_pallas(
+            jnp.asarray(idx), jnp.asarray(cw), jnp.asarray(dcols), h, w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_scatter_banded(monkeypatch):
+    """Force multiple accumulator bands to exercise the band routing."""
+    from jax.experimental.pallas import tpu as pltpu
+    import planerecnet_tpu.ops.pallas.dcn_scatter as ds
+
+    monkeypatch.setattr(ds, "_BAND_BYTES", 2048)  # tiny -> many bands
+    rng = np.random.RandomState(6)
+    b, r, c, h, w = 2, 300, 8, 13, 11
+    idx = np.stack([rng.randint(0, h + 1, (b, r)),
+                    rng.randint(0, w + 1, (b, r))], axis=-1).astype(np.int32)
+    cw = rng.rand(b, r, 4).astype(np.float32)
+    dcols = rng.randn(b, r, c).astype(np.float32)
+    want = np.asarray(ds.dcn_input_grad_xla(
+        jnp.asarray(idx), jnp.asarray(cw), jnp.asarray(dcols), h, w))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ds.dcn_input_grad_pallas(
+            jnp.asarray(idx), jnp.asarray(cw), jnp.asarray(dcols), h, w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -113,3 +113,24 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_loss_decreases_over_steps():
+    """Overfit signal: repeated steps on one fixed batch reduce the total
+    loss (verifies gradients + optimizer actually learn)."""
+    cfg = _tiny_cfg()
+    h = w = 64
+    state = create_train_state(cfg, jax.random.PRNGKey(1), input_shape=(h, w))
+    batch = _tiny_batch(4, h, w)
+    step = jax.jit(lambda s, b: train_step(s, b, cfg), donate_argnums=(0,))
+
+    first = None
+    last = None
+    for i in range(25):
+        state, losses = step(state, batch)
+        total = float(losses["total"])
+        assert np.isfinite(total), i
+        if i == 0:
+            first = total
+        last = total
+    assert last < first * 0.9, (first, last)

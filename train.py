@@ -17,7 +17,8 @@ import time
 import numpy as np
 
 from planerecnet_tpu.config import set_cfg, set_dataset
-from planerecnet_tpu.data import BatchIterator, SSDAugmentation, build_dataset
+from planerecnet_tpu.data import (BatchIterator, PrefetchIterator,
+                                  SSDAugmentation, build_dataset)
 from planerecnet_tpu.parallel.mesh import make_mesh
 from planerecnet_tpu.trainer import create_train_state, jit_train_step
 from planerecnet_tpu.utils import MovingAverage, SavePath
@@ -153,9 +154,10 @@ def main(argv=None):
 
     dataset = build_dataset(cfg, "train", transform=SSDAugmentation(
         cfg, rng=np.random.RandomState(seed)))
-    loader = BatchIterator(cfg, dataset, args.batch_size, seed=seed)
-
     mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    loader = PrefetchIterator(
+        BatchIterator(cfg, dataset, args.batch_size, seed=seed),
+        buffer_size=max(args.num_workers, 1), to_device=(mesh is None))
     state = create_train_state(cfg, jax.random.PRNGKey(seed),
                                input_shape=(cfg.max_size, cfg.max_size),
                                base_lr=base_lr,
@@ -251,6 +253,9 @@ def main(argv=None):
 
                 if mesh is not None:
                     state, batch = step_fn.shard_args(state, batch)
+                # (single-device batches arrive device-resident from the
+                # PrefetchIterator — feeding numpy straight into jit takes a
+                # catastrophically slow path on the remote tunnel, PERF.md)
                 state, losses = step_fn(state, batch)
 
                 losses = {k: float(v) for k, v in losses.items()}
