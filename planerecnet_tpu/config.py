@@ -178,6 +178,9 @@ class BackboneConfig(_FrozenBase):
     layers: Tuple[int, ...] = ()
     dcn_layers: Tuple[int, ...] = (0, 0, 0, 0)
     dcn_interval: int = 1
+    # Stage indices converted to dilated (stride-1) stages
+    # (reference backbone.py:84,146-153). No shipped preset uses it.
+    atrous_layers: Tuple[int, ...] = ()
     transform: TransformConfig = resnet_transform
     selected_layers: Tuple[int, ...] = ()
 
@@ -236,6 +239,10 @@ class DepthConfig(_FrozenBase):
     selected_layers: Tuple[int, ...] = tuple(range(0, 4))
     skip_layers: Tuple[int, ...] = tuple(range(0, 4))
     use_refle: bool = True
+    # Decoder channel width at the coarsest level (halved down the decoder).
+    # The reference hard-codes 256 (planerecnet.py:510-538); configurable here
+    # so the multi-chip dryrun can compile a narrow variant quickly on CPU.
+    num_features: int = 256
 
 
 depth_fpn = DepthConfig()
@@ -348,8 +355,11 @@ class PlaneRecNetConfig(_FrozenBase):
     max_positives: int = 128         # max positive (cell, inst) slots/img/level
     vnl_samples: int = 512           # point-triplet samples per plane / image
 
-    # Compute dtype for conv/matmul heavy paths ("bfloat16" or "float32").
-    compute_dtype: str = "float32"
+    # Compute dtype for conv/matmul heavy paths: "bfloat16", "float32", or
+    # "auto" = bfloat16 for INFERENCE on TPU (gated by the bf16 drift tests
+    # in tests/test_bf16.py: post-processed mask IoU >= 0.99 and depth rel
+    # err <= 1% vs f32), float32 everywhere else (training stays f32).
+    compute_dtype: str = "auto"
 
     # Fused Pallas dice/lava loss kernel: "auto" (on TPU), "on", "off".
     fused_loss_kernel: str = "auto"
@@ -386,10 +396,31 @@ PlaneRecNet_50_config = PlaneRecNet_101_config.copy(dict(
 ))
 
 
+# Shrunken PlaneRecNet-50 with the same architecture (DCN backbone, FPN,
+# both SOLOv2 heads, depth decoder, all five losses) at smoke-test scale:
+# used by the multi-chip dryrun and the mesh/SPMD tests, where a full
+# PRN-50 train-step compile takes >10 min on CPU.
+PlaneRecNet_tiny_config = PlaneRecNet_50_config.copy(dict(
+    name="PlaneRecNet_tiny",
+    backbone=PlaneRecNet_50_config.backbone.copy(dict(
+        layers=(1, 1, 1, 1), dcn_layers=(0, 1, 1, 1), dcn_interval=1)),
+    fpn=PlaneRecNet_50_config.fpn.copy(dict(num_features=32)),
+    depth=PlaneRecNet_50_config.depth.copy(dict(num_features=32)),
+    solov2=PlaneRecNet_50_config.solov2.copy(dict(
+        num_kernels=32, num_masks=32, masks_channels=32,
+        instance_channels=32, num_instance_convs=1,
+        num_grids=(8, 8, 4, 4),
+        nms_pre=16, top_k=8, max_candidates=32)),
+    max_instances=4, max_positives=16, vnl_samples=32,
+    remat_backbone=False,
+))
+
+
 _CONFIGS = {
     "PlaneRecNet_base_config": PlaneRecNet_base_config,
     "PlaneRecNet_101_config": PlaneRecNet_101_config,
     "PlaneRecNet_50_config": PlaneRecNet_50_config,
+    "PlaneRecNet_tiny_config": PlaneRecNet_tiny_config,
 }
 
 _DATASETS = {

@@ -364,21 +364,39 @@ class PrefetchIterator:
 
 
 class BatchIterator:
-    """Shuffled epoch iterator yielding fixed-shape batches."""
+    """Shuffled epoch iterator yielding fixed-shape batches.
+
+    Multi-host sharding (SURVEY.md §5 distributed growth path): with
+    ``num_shards > 1`` every process draws the SAME seeded permutation but
+    loads only its ``shard_index``-th slice of each global batch, so the
+    per-process batches are disjoint and together form the global batch —
+    no host ever loads (or feeds) data owned by another process.
+    ``batch_size`` stays the GLOBAL batch size; the yielded batch has
+    ``batch_size // num_shards`` rows.
+    """
 
     def __init__(self, cfg: PlaneRecNetConfig, dataset: PlaneAnnoDataset,
-                 batch_size: int, seed: int = 0, drop_last: bool = True):
+                 batch_size: int, seed: int = 0, drop_last: bool = True,
+                 shard_index: int = 0, num_shards: int = 1):
+        if batch_size % num_shards != 0:
+            raise ValueError(
+                f"global batch size {batch_size} not divisible by "
+                f"{num_shards} processes")
         self.cfg = cfg
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self.rng.permutation(len(self.dataset))
+        per_shard = self.batch_size // self.num_shards
         for i in range(0, len(order), self.batch_size):
             idx = order[i:i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            samples = [self.dataset[j] for j in idx]
+            lo = self.shard_index * per_shard
+            samples = [self.dataset[j] for j in idx[lo:lo + per_shard]]
             yield collate_batch(self.cfg, samples)

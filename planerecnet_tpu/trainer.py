@@ -154,24 +154,47 @@ def train_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
     return state, losses
 
 
-def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None):
+# Batch keys with an image-height axis shardable over the 'spatial' mesh
+# dimension (2-D data x spatial training): key -> axis index.
+_SPATIAL_AXES = {"image": 1, "depth": 1, "masks": 2}
+
+
+def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None,
+                   spatial: bool = False):
     """Jitted train step — the working replacement for the reference's broken
     ``CustomDataParallel`` (train.py:128-213). With a mesh, the batch is
     sharded on its leading axis over 'data' and the state replicated; XLA
-    emits the gradient all-reduce over ICI."""
+    emits the gradient all-reduce over ICI.
+
+    With ``spatial=True`` (and a mesh whose 'spatial' axis is > 1) the
+    image-height dimension of the dense inputs is additionally sharded over
+    'spatial': XLA SPMD inserts the conv halo exchanges, partitioning the
+    640x640 activations across chips — the activation-memory scaling axis
+    for this CNN (the analogue of context parallelism, SURVEY.md §2 C16).
+    """
     step = functools.partial(train_step, cfg=cfg)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
 
     def shard_args(state, batch):
         state = jax.device_put(state, repl)
-        batch = jax.tree.map(
-            lambda x: jax.device_put(
-                x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1))))),
-            batch)
+
+        def put(key, x):
+            parts = ["data"] + [None] * (x.ndim - 1)
+            ax = _SPATIAL_AXES.get(key) if spatial else None
+            if ax is not None and x.ndim > ax:
+                parts[ax] = "spatial"
+            sharding = NamedSharding(mesh, P(*parts))
+            if jax.process_count() > 1:
+                # Multi-host: every process holds only its disjoint slice of
+                # the global batch (BatchIterator shards by process_index);
+                # assemble the global array from the per-process shards.
+                return jax.make_array_from_process_local_data(sharding, x)
+            return jax.device_put(x, sharding)
+
+        batch = {k: put(k, v) for k, v in batch.items()}
         return state, batch
 
     jitted = jax.jit(step, out_shardings=(repl, repl), donate_argnums=(0,))
