@@ -135,20 +135,32 @@ class Bottleneck(nn.Module):
 
 
 def _stage_plan(layers: Sequence[int], dcn_layers: Sequence[int],
-                dcn_interval: int):
-    """Per-stage (planes, blocks, stride, dcn flags) build plan."""
+                dcn_interval: int, atrous_layers: Sequence[int] = ()):
+    """Per-stage (planes, blocks, stride, dilation, dcn flags) build plan.
+
+    Atrous semantics replicate reference backbone.py:146-153 exactly: when a
+    stage index is in ``atrous_layers`` the cumulative dilation increments
+    and that stage's stride becomes 1; the dilation persists into later
+    stages' FIRST blocks, while non-first blocks always use dilation 1 (the
+    reference passes dilation only to the first block, backbone.py:171-189).
+    """
     plan = []
     planes = (64, 128, 256, 512)
     strides = (1, 2, 2, 2)
+    dilation = 1
     for s, blocks in enumerate(layers):
         dcn = dcn_layers[s] if s < len(dcn_layers) else 0
+        stride = strides[s] if s < 4 else 2
+        if s in atrous_layers:
+            dilation += 1
+            stride = 1
         flags = []
         for i in range(blocks):
             if i == 0:
                 flags.append(dcn >= blocks)
             else:
                 flags.append(((i + dcn) >= blocks) and (i % dcn_interval == 0))
-        plan.append((planes[s] if s < 4 else 512, blocks, strides[s] if s < 4 else 2,
+        plan.append((planes[s] if s < 4 else 512, blocks, stride, dilation,
                      tuple(flags)))
     return plan
 
@@ -165,6 +177,7 @@ class ResNetBackbone(nn.Module):
     layers: Tuple[int, ...]
     dcn_layers: Tuple[int, ...] = (0, 0, 0, 0)
     dcn_interval: int = 1
+    atrous_layers: Tuple[int, ...] = ()
     extra_layers: int = 0
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
@@ -190,12 +203,19 @@ class ResNetBackbone(nn.Module):
         # backward pass instead of stored (jax.checkpoint via nn.remat).
         block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
                      if self.remat else Bottleneck)
-        plan = _stage_plan(self.layers, self.dcn_layers, self.dcn_interval)
-        for s, (planes, blocks, stride, dcn_flags) in enumerate(plan):
+        plan = _stage_plan(self.layers, self.dcn_layers, self.dcn_interval,
+                           self.atrous_layers)
+        for s, (planes, blocks, stride, dilation, dcn_flags) in \
+                enumerate(plan):
             for i in range(blocks):
                 if i == 0:
+                    # The downsample connection exists whenever stride != 1
+                    # OR channels change — with atrous stride forced to 1
+                    # the 1x1 projection is still built
+                    # (reference backbone.py:152-162).
                     has_ds = stride != 1 or inplanes != planes * 4
                     x = block_cls(planes, stride=stride, has_downsample=has_ds,
+                                  dilation=dilation,
                                   use_dcn=dcn_flags[i], dtype=self.dtype,
                                   name=f"layer{s}_{i}")(x, train)
                     inplanes = planes * 4
@@ -221,6 +241,7 @@ def construct_backbone(cfg: BackboneConfig, dtype=None,
     return ResNetBackbone(layers=tuple(cfg.layers),
                           dcn_layers=tuple(cfg.dcn_layers),
                           dcn_interval=cfg.dcn_interval,
+                          atrous_layers=tuple(cfg.atrous_layers),
                           extra_layers=extra,
                           dtype=dtype,
                           remat=remat)

@@ -35,6 +35,9 @@ from planerecnet_tpu.ops.image import (reflect_pad, resize_bilinear,
 
 class DepthDecoderFPN(nn.Module):
     cfg: SOLOv2Config
+    # Channel width at the coarsest decoder level; the reference hard-codes
+    # 256 (planerecnet.py:510-538). F -> F/2 -> F/4 down the decoder.
+    num_features: int = 256
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -43,6 +46,8 @@ class DepthDecoderFPN(nn.Module):
                  kernel_preds: Sequence[jnp.ndarray],
                  train: bool = False):
         c = self.cfg
+        F, F2, F4 = (self.num_features, self.num_features // 2,
+                     self.num_features // 4)
         b = feature_maps[0].shape[0]
 
         # --- dynamic-conv mask assembly (all grid levels, one matmul) ---
@@ -55,7 +60,7 @@ class DepthDecoderFPN(nn.Module):
                            preferred_element_type=jnp.float32)
         masks = jax.lax.stop_gradient(jax.nn.sigmoid(masks)).astype(seg.dtype)
 
-        masks = XConv(256, (1, 1), dtype=self.dtype,
+        masks = XConv(F, (1, 1), dtype=self.dtype,
                         name="conv1x1")(masks)
         mh, mw = masks.shape[1] // 4, masks.shape[2] // 4
         masks = resize_bilinear(masks, (mh, mw))
@@ -68,24 +73,24 @@ class DepthDecoderFPN(nn.Module):
                                      name=name)(x, train=train)
 
         # Coarsest level.
-        x = XConv(256, (1, 1), dtype=self.dtype, name="latlayer1")(feats[0])
-        x = ReflectConvBNReLU(256, dtype=self.dtype, name="conv1")(x, train=train)
-        x = deconv(x, 256, "deconv1")
+        x = XConv(F, (1, 1), dtype=self.dtype, name="latlayer1")(feats[0])
+        x = ReflectConvBNReLU(F, dtype=self.dtype, name="conv1")(x, train=train)
+        x = deconv(x, F, "deconv1")
 
         x = jnp.concatenate([x, x * masks], axis=-1)
-        x = ReflectConvBNReLU(128, dtype=self.dtype, name="refine_conv")(x, train=train)
+        x = ReflectConvBNReLU(F2, dtype=self.dtype, name="refine_conv")(x, train=train)
 
-        l2 = XConv(256, (1, 1), dtype=self.dtype, name="latlayer2")(feats[1])
-        l2 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv2")(l2, train=train)
-        x = deconv(jnp.concatenate([l2, x], axis=-1), 128, "deconv2")
+        l2 = XConv(F, (1, 1), dtype=self.dtype, name="latlayer2")(feats[1])
+        l2 = ReflectConvBNReLU(F2, dtype=self.dtype, name="conv2")(l2, train=train)
+        x = deconv(jnp.concatenate([l2, x], axis=-1), F2, "deconv2")
 
-        l3 = XConv(256, (1, 1), dtype=self.dtype, name="latlayer3")(feats[2])
-        l3 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv3")(l3, train=train)
-        x = deconv(jnp.concatenate([l3, x], axis=-1), 128, "deconv3")
+        l3 = XConv(F, (1, 1), dtype=self.dtype, name="latlayer3")(feats[2])
+        l3 = ReflectConvBNReLU(F2, dtype=self.dtype, name="conv3")(l3, train=train)
+        x = deconv(jnp.concatenate([l3, x], axis=-1), F2, "deconv3")
 
-        l4 = XConv(256, (1, 1), dtype=self.dtype, name="latlayer4")(feats[3])
-        l4 = ReflectConvBNReLU(128, dtype=self.dtype, name="conv4")(l4, train=train)
-        x = deconv(jnp.concatenate([l4, x], axis=-1), 64, "deconv4")
+        l4 = XConv(F, (1, 1), dtype=self.dtype, name="latlayer4")(feats[3])
+        l4 = ReflectConvBNReLU(F2, dtype=self.dtype, name="conv4")(l4, train=train)
+        x = deconv(jnp.concatenate([l4, x], axis=-1), F4, "deconv4")
 
         x = reflect_pad(x, 1)
         x = XConv(1, (3, 3), padding="VALID", dtype=self.dtype,

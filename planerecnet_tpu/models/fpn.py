@@ -21,7 +21,7 @@ XConv = _functools.partial(nn.Conv, kernel_init=_XAVIER)
 import jax.numpy as jnp
 
 from planerecnet_tpu.config import FPNConfig
-from planerecnet_tpu.ops.image import resize_bilinear
+from planerecnet_tpu.ops.image import resize_bilinear, resize_nearest
 
 
 class FPN(nn.Module):
@@ -43,8 +43,13 @@ class FPN(nn.Module):
                           name=f"lateral_conv{i - self.start_level}")(
                               inputs[i])
             if x is not None:
+                # The accumulator resize honours cfg.fpn.interpolation_mode
+                # (reference fpn.py:54 passes it to F.interpolate).
                 h, w = inputs[i].shape[1], inputs[i].shape[2]
-                x = resize_bilinear(x, (h, w)).astype(lat.dtype)
+                resize = (resize_nearest
+                          if self.interpolation_mode == "nearest"
+                          else resize_bilinear)
+                x = resize(x, (h, w)).astype(lat.dtype)
                 x = lat + x
             else:
                 x = lat

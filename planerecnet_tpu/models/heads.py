@@ -56,7 +56,8 @@ class SOLOv2InsHead(nn.Module):
                             use_bias=False,  # norm == GN
                             dtype=self.dtype,
                             name=f"{name}_tower{i}_conv"),
-                    nn.GroupNorm(num_groups=32, name=f"{name}_tower{i}_gn"),
+                    nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                 name=f"{name}_tower{i}_gn"),
                 ))
             towers[name] = stages
 
@@ -112,7 +113,7 @@ class SOLOv2MaskHead(nn.Module):
             x = XConv(feats, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype,
                         name=f"{name}_conv")(x)
-            x = nn.GroupNorm(num_groups=32, name=f"{name}_gn")(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"{name}_gn")(x)
             return nn.relu(x)
 
         out = conv_gn_relu(features[0], c.masks_channels, "level0_conv0")
@@ -132,5 +133,5 @@ class SOLOv2MaskHead(nn.Module):
 
         out = XConv(c.num_masks, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv_pred_conv")(out)
-        out = nn.GroupNorm(num_groups=32, name="conv_pred_gn")(out)
+        out = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="conv_pred_gn")(out)
         return nn.relu(out)

@@ -45,7 +45,16 @@ class PlaneRecNet(nn.Module):
         # iterates all modules; enabled when per-device batch < 6,
         # train.py:115-118).
         bn_train = train and not cfg.freeze_bn
-        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
+        cd = cfg.compute_dtype
+        if cd == "auto":
+            # bf16 auto-selects for inference on TPU only (accuracy-gated,
+            # tests/test_bf16.py); the training path stays f32 unless
+            # explicitly configured.
+            import jax
+            cd = ("bfloat16" if (not train
+                                 and jax.default_backend() == "tpu")
+                  else "float32")
+        dtype = (jnp.bfloat16 if cd == "bfloat16" else None)
 
         backbone = construct_backbone(cfg.backbone, dtype=dtype,
                               remat=cfg.remat_backbone)
@@ -76,7 +85,9 @@ class PlaneRecNet(nn.Module):
 
         # Depth branch over the raw backbone features.
         depth_inputs = [feats_enc[i] for i in cfg.depth.selected_layers]
-        depth_pred = DepthDecoderFPN(cfg.solov2, dtype=dtype,
+        depth_pred = DepthDecoderFPN(cfg.solov2,
+                                     num_features=cfg.depth.num_features,
+                                     dtype=dtype,
                                      name="depth_decoder")(
             depth_inputs, mask_pred, kernel_preds, train=bn_train)
 
