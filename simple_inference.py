@@ -117,6 +117,13 @@ def _valid_result(batched, idx=0):
     invalid slots (the dynamic-shape boundary lives on host, off the
     jitted path)."""
     valid = np.asarray(batched["pred_valid"][idx])
+    clip = np.asarray(batched.get("candidates_clipped",
+                                  np.zeros(1))).reshape(-1)
+    if bool(clip[min(idx, clip.size - 1)]):
+        print("WARNING: >max_candidates cells passed score_thr; overflow "
+              "candidates were dropped before mask scoring (raise "
+              "cfg.solov2.max_candidates or score_thr for exact reference "
+              "semantics).")
     out = {"pred_depth": np.asarray(batched["pred_depth"][idx])}
     if valid.any():
         for k in ("pred_masks", "pred_scores", "pred_classes", "pred_boxes"):

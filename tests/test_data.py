@@ -218,3 +218,22 @@ def test_prefetch_iterator():
         np.testing.assert_array_equal(item["a"], np.ones((2, 2)) * i)
     # re-iterable
     assert len(list(PrefetchIterator(src, to_device=False))) == 5
+
+
+def test_batch_iterator_multihost_sharding(scannet_root):
+    """Per-process shards are disjoint and reassemble the global batch
+    (multi-host input sharding, SURVEY.md §5 distributed growth path)."""
+    root, anno = scannet_root
+    cfg = _cfg_for(root, anno)
+    ds = build_dataset(cfg, "train", transform=BaseTransform(cfg))
+
+    whole = next(iter(BatchIterator(cfg, ds, batch_size=2, seed=7)))
+    shards = [next(iter(BatchIterator(cfg, ds, batch_size=2, seed=7,
+                                      shard_index=i, num_shards=2)))
+              for i in range(2)]
+    assert shards[0]["image"].shape[0] == 1
+    rebuilt = np.concatenate([s["image"] for s in shards], axis=0)
+    np.testing.assert_array_equal(rebuilt, whole["image"])
+
+    with pytest.raises(ValueError):
+        BatchIterator(cfg, ds, batch_size=2, num_shards=4)

@@ -76,17 +76,17 @@ def test_backbone_dcn_plan():
     from planerecnet_tpu.models.backbone import _stage_plan
     # ResNet50-DCNv2: dcn_layers=[0,4,6,3]
     plan = _stage_plan((3, 4, 6, 3), (0, 4, 6, 3), 1)
-    assert plan[0][3] == (False, False, False)
-    assert plan[1][3] == (True, True, True, True)
-    assert plan[2][3] == (True, True, True, True, True, True)
-    assert plan[3][3] == (True, True, True)
+    assert plan[0][4] == (False, False, False)
+    assert plan[1][4] == (True, True, True, True)
+    assert plan[2][4] == (True, True, True, True, True, True)
+    assert plan[3][4] == (True, True, True)
     # ResNet101-DCN-interval3: dcn_layers=[0,4,23,3], interval 3
     plan = _stage_plan((3, 4, 23, 3), (0, 4, 23, 3), 3)
-    assert plan[1][3] == (True, False, False, True)
+    assert plan[1][4] == (True, False, False, True)
     # stage 3: first block True, then i%3==0
-    assert plan[2][3][0] is True
-    assert sum(plan[2][3]) == 1 + len([i for i in range(1, 23) if i % 3 == 0])
-    assert plan[3][3] == (True, False, False)
+    assert plan[2][4][0] is True
+    assert sum(plan[2][4]) == 1 + len([i for i in range(1, 23) if i % 3 == 0])
+    assert plan[3][4] == (True, False, False)
 
 
 def test_fpn_high_level_original():

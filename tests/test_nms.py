@@ -118,3 +118,35 @@ def test_mask_nms_matches_oracle():
         jnp.asarray(labels), jnp.asarray(masks), jnp.asarray(sums),
         jnp.asarray(scores), jnp.ones(n, bool), nms_thr=0.3))
     np.testing.assert_array_equal(got, want)
+
+
+def test_postprocess_saturation_flag():
+    """candidates_clipped must be raised exactly when more cells pass
+    score_thr than the fixed capacity (VERDICT r1 weak item 7; semantics
+    beyond the cap diverge from reference planerecnet.py:189-197)."""
+    import jax.numpy as jnp
+    from planerecnet_tpu.config import PlaneRecNet_50_config
+    from planerecnet_tpu.ops.postprocess import postprocess_single
+
+    cfg = PlaneRecNet_50_config.copy(dict(solov2=(
+        PlaneRecNet_50_config.solov2.copy(dict(
+            max_candidates=16, nms_pre=16, top_k=8)))))
+    sv = cfg.solov2
+    n_cells = sum(s * s for s in sv.num_grids[:4])
+    rng = np.random.RandomState(0)
+    kernels = jnp.asarray(rng.randn(n_cells, sv.num_kernels), jnp.float32)
+    mask_feat = jnp.asarray(rng.randn(16, 16, sv.num_kernels), jnp.float32)
+    depth = jnp.ones((32, 32, 1), jnp.float32)
+
+    # 10 < 16 candidates above threshold -> not clipped.
+    scores = np.zeros((n_cells, 2), np.float32)
+    scores[:10, 1] = 0.9
+    out = postprocess_single(jnp.asarray(scores), kernels, mask_feat,
+                             depth, cfg, (64, 64), num_levels=4)
+    assert not bool(out["candidates_clipped"])
+
+    # 40 > 16 candidates above threshold -> clipped.
+    scores[:40, 1] = 0.9
+    out = postprocess_single(jnp.asarray(scores), kernels, mask_feat,
+                             depth, cfg, (64, 64), num_levels=4)
+    assert bool(out["candidates_clipped"])
