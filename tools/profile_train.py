@@ -1,0 +1,150 @@
+"""Training-step profiler: steady-state ms/iter for the jitted train step.
+
+Times the FULL training step (forward + all five losses + backward + Adam
+update) on synthetic device-resident batches with donated state, the only
+methodology trusted on this runtime (PERF.md: identical-input micro-bench
+results are cached; evolving donated state cannot be).
+
+Reference comparison: the RTX 3090 trains 125k iters in ~37 h ≈ 1065 ms/iter
+(reference README.md:64, data/config.py:419).
+
+    python tools/profile_train.py --config PlaneRecNet_101_config \
+        --batch_size 8 --dtype bfloat16 --iters 20
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_batch(cfg, b, h, w, seed=0):
+    """Synthetic fixed-capacity batch matching collate_batch's layout."""
+    rng = np.random.RandomState(seed)
+    n = cfg.max_instances
+    masks = np.zeros((b, n, h, w), np.float32)
+    boxes = np.zeros((b, n, 4), np.float32)
+    gt_valid = np.zeros((b, n), bool)
+    for i in range(b):
+        k = int(rng.randint(1, min(n, 6) + 1))
+        for j in range(k):
+            y0, x0 = rng.randint(0, h // 2), rng.randint(0, w // 2)
+            y1 = y0 + rng.randint(h // 8, h // 2)
+            x1 = x0 + rng.randint(w // 8, w // 2)
+            masks[i, j, y0:y1, x0:x1] = 1
+            boxes[i, j] = [x0, y0, min(x1, w - 1), min(y1, h - 1)]
+            gt_valid[i, j] = True
+    planes = rng.randn(b, n, 4).astype(np.float32)
+    planes[..., :3] /= np.linalg.norm(planes[..., :3], axis=-1,
+                                      keepdims=True) + 1e-6
+    return {
+        "image": rng.randn(b, h, w, 3).astype(np.float32),
+        "depth": (rng.rand(b, h, w, 1) * 4 + 0.3).astype(np.float32),
+        "masks": masks,
+        "boxes": boxes,
+        "classes": np.ones((b, n), np.int32),
+        "gt_valid": gt_valid,
+        "plane_paras": planes,
+        "k_matrix": np.tile(
+            np.array([[577.0, 0, w / 2], [0, 577.0, h / 2], [0, 0, 1]],
+                     np.float32), (b, 1, 1)),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="PlaneRecNet_101_config")
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--size", default=640, type=int)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--iters", default=20, type=int)
+    p.add_argument("--warmup", default=2, type=int,
+                   help="untimed steps after compile (cold caches)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable backbone rematerialisation (bf16 halves "
+                        "activation memory, so the step may fit without it)")
+    p.add_argument("--no_dcn", action="store_true",
+                   help="ablation: plain-conv backbone (isolates the DCN "
+                        "backward cost)")
+    p.add_argument("--forward_only", action="store_true",
+                   help="ablation: time the loss forward (no grad/update)")
+    p.add_argument("--losses", default=None, type=str,
+                   help="ablation: comma list of losses to keep "
+                        "(e.g. 'ins,cat,dpt' drops VNL+lava)")
+    args = p.parse_args()
+
+    import jax
+
+    from planerecnet_tpu.config import set_cfg
+    from planerecnet_tpu.trainer import create_train_state, jit_train_step
+
+    cfg = set_cfg(args.config).copy(dict(
+        compute_dtype=args.dtype,
+        remat_backbone=not args.no_remat))
+    if args.no_dcn:
+        cfg = cfg.copy(dict(backbone=cfg.backbone.copy(dict(
+            dcn_layers=(0, 0, 0, 0)))))
+    if args.losses is not None:
+        keep = set(args.losses.split(","))
+        cfg = cfg.copy(dict(use_plane_loss="pln" in keep,
+                            use_lava_loss="lav" in keep))
+    h = w = args.size
+
+    t0 = time.perf_counter()
+    state = create_train_state(cfg, jax.random.PRNGKey(0), input_shape=(h, w))
+    print(f"state init: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    batch = jax.device_put(synth_batch(cfg, args.batch_size, h, w))
+    jax.block_until_ready(batch)
+
+    if args.forward_only:
+        from planerecnet_tpu.losses.losses import compute_losses
+
+        @jax.jit
+        def step(state, batch):
+            rng = jax.random.fold_in(state.rng, state.step)
+            preds = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"])[0]
+            losses = compute_losses(cfg, preds, batch, rng)
+            losses = dict(losses, total=sum(losses.values()))
+            return state.replace(step=state.step + 1), losses
+    else:
+        step = jit_train_step(cfg)
+    t0 = time.perf_counter()
+    state, losses = step(state, batch)
+    jax.block_until_ready(losses)
+    print(f"compile + first step: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    for _ in range(args.warmup):
+        state, losses = step(state, batch)
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, losses = step(state, batch)
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    total = float(losses["total"])
+    ref_ms = 37 * 3600 * 1000 / 125000  # reference: 37 h / 125k iters
+    print(json.dumps({
+        "metric": f"train step ms/iter ({args.config}, "
+                  f"bs={args.batch_size}, {h}x{w}, {args.dtype})",
+        "value": round(dt * 1000, 1),
+        "unit": "ms/iter",
+        "vs_baseline": round(ref_ms / (dt * 1000), 2),
+        "final_total_loss": round(total, 4),
+        "loss_finite": bool(np.isfinite(total)),
+    }))
+
+
+if __name__ == "__main__":
+    main()
