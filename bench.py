@@ -83,10 +83,16 @@ def main():
 
     imgs_per_sec = args.batch_size * args.iters / dt
     baseline = 19.1  # PRN-50 RTX 3090 FPS (reference README.md:35-37)
+    # Report the dtype that actually ran: "auto" resolves to bf16 for
+    # inference on TPU (accuracy-gated, tests/test_bf16.py), f32 elsewhere.
+    dtype = cfg.compute_dtype
+    if dtype == "auto":
+        dtype = ("auto:bf16" if jax.default_backend() == "tpu"
+                 else "auto:f32")
     print(json.dumps({
         "metric": f"{args.height}x{args.width} images/sec/chip "
                   f"(PRN-50 inference, batch={args.batch_size}, "
-                  f"distinct frames)",
+                  f"{dtype}, distinct frames)",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / baseline, 3),

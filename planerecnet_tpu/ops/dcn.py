@@ -159,13 +159,33 @@ def _dcn_bwd(stride, padding, kernel_size, res, dout):
                                  padding, offset)
     y0, x0, cw, ids, inb = _corner_data(sy, sx, h, w)  # (B, R, 4) each
     x_flat = x.astype(jnp.float32).reshape(b, h * w, cin)
-    corners = _gather_corners(x_flat, ids)            # (B, R, 4, Cin) f32
-    sampled_unmod = jnp.sum(corners * cw[..., None], axis=2)  # (B, R, Cin)
 
     maskf = mask.astype(jnp.float32).reshape(b, p, k, 1)
     wmat = weight.astype(jnp.float32).reshape(k * cin, cout)
 
-    # dcols (gradient at the modulated samples) and dweight / dbias.
+    dcols = jnp.einsum("bpo,fo->bpf", dflat, wmat,
+                       preferred_element_type=jnp.float32)
+    dcols = dcols.reshape(b, p * k, cin)              # (B, R, Cin)
+
+    # Per-corner loop: each corner's gathered values feed BOTH the sampled
+    # reconstruction (for dweight/dmask) and the row-dot with dcols (for
+    # doffset). Looping keeps the peak at (B, R, Cin) transients that XLA
+    # fuses — a stacked (B, R, 4, Cin) f32 corner tensor is ~3.8 GB at the
+    # stride-8 stage and was the reason the round-1 custom VJP lost to
+    # autodiff end-to-end (890 vs 715 ms/iter, PERF.md).
+    sampled_unmod = jnp.zeros((b, p * k, cin), jnp.float32)
+    dots = []
+    for i in range(4):
+        g = jnp.take_along_axis(x_flat, ids[..., i:i + 1], axis=1)
+        sampled_unmod = sampled_unmod + g * cw[..., i:i + 1]
+        # In-bounds gating (NOT weight>0: at integer sample positions — the
+        # zero-init case — a corner can have zero bilinear weight yet a
+        # non-zero offset derivative).
+        gv = jnp.where(inb[..., i:i + 1], g, 0.0)
+        dots.append(jnp.einsum("brc,brc->br", gv, dcols))
+    dot = jnp.stack(dots, axis=-1)                    # (B, R, 4)
+
+    # dweight / dbias from the reconstructed modulated samples.
     cols = (sampled_unmod.reshape(b, p, k, cin) * maskf).reshape(
         b, p, k * cin)
     dweight = jnp.einsum("bpf,bpo->fo", cols, dflat,
@@ -173,10 +193,6 @@ def _dcn_bwd(stride, padding, kernel_size, res, dout):
     dweight = dweight.reshape(weight.shape).astype(weight.dtype)
     dbias = (jnp.sum(dout32, axis=(0, 1, 2)).astype(jnp.float32)
              if has_bias else None)
-
-    dcols = jnp.einsum("bpo,fo->bpf", dflat, wmat,
-                       preferred_element_type=jnp.float32)
-    dcols = dcols.reshape(b, p * k, cin)              # (B, R, Cin)
 
     # dmask: dL/dmask = <sampled_unmod, dcols>.
     dmask = jnp.sum(sampled_unmod * dcols, axis=-1).reshape(b, ho, wo, k)
@@ -187,11 +203,6 @@ def _dcn_bwd(stride, padding, kernel_size, res, dout):
     fx = sx - jnp.floor(sx)
     fy = sy - jnp.floor(sy)
     vmaskr = mask.astype(jnp.float32).reshape(b, p * k)
-    # In-bounds gating (NOT weight>0: at integer sample positions — the
-    # zero-init case — a corner can have zero bilinear weight yet a
-    # non-zero offset derivative).
-    v = jnp.where(inb[..., None], corners, 0.0)
-    dot = jnp.einsum("brkc,brc->brk", v, dcols)       # (B, R, 4)
     one = jnp.float32(1.0)
     dsy = (-(one - fx) * dot[..., 0] - fx * dot[..., 1]
            + (one - fx) * dot[..., 2] + fx * dot[..., 3]) * vmaskr

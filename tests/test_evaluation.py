@@ -137,6 +137,8 @@ def test_timer_scopes():
             time.sleep(0.02)
         time.sleep(0.01)
     total = timer.total_time()
-    assert 0.035 < total < 0.3
+    # Generous upper bound: time.sleep oversleeps hugely on a loaded
+    # single-core CI host; the test is about scope accounting, not latency.
+    assert 0.035 < total < 5.0
     # nested scope does not double count
     assert timer._total_times["inner"] < timer._total_times["outer"] + 0.02

@@ -74,10 +74,20 @@ def main():
                         "backward cost)")
     p.add_argument("--forward_only", action="store_true",
                    help="ablation: time the loss forward (no grad/update)")
+    p.add_argument("--net_grad_only", action="store_true",
+                   help="ablation: grad of sum(preds^2) through the network "
+                        "only (isolates network backward from loss backward)")
     p.add_argument("--losses", default=None, type=str,
                    help="ablation: comma list of losses to keep "
                         "(e.g. 'ins,cat,dpt' drops VNL+lava)")
+    p.add_argument("--dcn_vjp", action="store_true",
+                   help="use the hand-written DCN VJP (Pallas scatter "
+                        "input-grad) instead of XLA autodiff")
     args = p.parse_args()
+
+    if args.dcn_vjp:
+        from planerecnet_tpu.ops import dcn
+        dcn.USE_CUSTOM_VJP = True
 
     import jax
 
@@ -103,6 +113,8 @@ def main():
     batch = jax.device_put(synth_batch(cfg, args.batch_size, h, w))
     jax.block_until_ready(batch)
 
+    keep = set(args.losses.split(",")) if args.losses else None
+
     if args.forward_only:
         from planerecnet_tpu.losses.losses import compute_losses
 
@@ -115,6 +127,49 @@ def main():
             losses = compute_losses(cfg, preds, batch, rng)
             losses = dict(losses, total=sum(losses.values()))
             return state.replace(step=state.step + 1), losses
+    elif keep is not None:
+        import jax.numpy as jnp
+        import optax
+        from planerecnet_tpu.losses.losses import compute_losses
+
+        @jax.jit
+        def step(state, batch):
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            def loss_fn(params):
+                preds, mut = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["image"], train=True, mutable=["batch_stats"])
+                losses = compute_losses(cfg, preds, batch, rng)
+                # Only the selected losses contribute gradients; XLA DCEs
+                # the rest of the backward.
+                total = sum(v for kk, v in losses.items() if kk in keep)
+                return total, losses
+
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = state.tx.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state),
+                    dict(losses, total=total))
+    elif args.net_grad_only:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def step(state, batch):
+            def loss_fn(params):
+                preds = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["image"], train=True, mutable=["batch_stats"])[0]
+                tot = sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                          for l in jax.tree.leaves(preds))
+                return tot * 1e-6
+            total, grads = jax.value_and_grad(loss_fn)(state.params)
+            gnorm = sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(grads))
+            return (state.replace(step=state.step + 1),
+                    {"total": total + 0 * gnorm})
     else:
         step = jit_train_step(cfg)
     t0 = time.perf_counter()
