@@ -68,8 +68,14 @@ def make_optimizer(cfg: PlaneRecNetConfig, base_lr: Optional[float] = None,
     schedule = lr_schedule(cfg, base_lr)
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
+    # optax.flatten: run the update on ONE raveled vector instead of ~500
+    # per-leaf elementwise HLOs. Isolated cost drops 24.8 -> 8.3 ms/update,
+    # and inside the fused train-step program the per-leaf form interacted
+    # pathologically with the backward's scheduling (~290 ms of a ~300 ms
+    # step — measured via tools/profile_train.py --no_opt ablations).
     if not per_module_lr:
-        return optax.chain(adam, optax.scale_by_learning_rate(schedule))
+        return optax.flatten(
+            optax.chain(adam, optax.scale_by_learning_rate(schedule)))
 
     def multiplier(path, _):
         top = path[0].key if path else ""
@@ -82,9 +88,11 @@ def make_optimizer(cfg: PlaneRecNetConfig, base_lr: Optional[float] = None,
     def scale_by_module(params):
         return jax.tree_util.tree_map_with_path(multiplier, params)
 
+    # Per-module scaling needs the tree structure, so it sits OUTSIDE the
+    # flattened adam+lr core.
     return optax.chain(
-        adam,
-        optax.scale_by_learning_rate(schedule),
+        optax.flatten(optax.chain(
+            adam, optax.scale_by_learning_rate(schedule))),
         _per_module_scale(scale_by_module),
     )
 
@@ -116,9 +124,10 @@ def create_train_state(cfg: PlaneRecNetConfig, rng: jax.Array,
         batch_stats=batch_stats, rng=state_rng)
 
 
-def train_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
-               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One optimization step. ``cfg`` must be a static (hashable) argument."""
+def grad_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
+              ) -> Tuple[Dict, Any, Dict[str, jnp.ndarray]]:
+    """Forward + joint loss + backward: returns (grads, new_batch_stats,
+    losses). ``cfg`` must be a static (hashable) argument."""
     step_rng = jax.random.fold_in(state.rng, state.step)
 
     def loss_fn(params):
@@ -131,7 +140,14 @@ def train_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
 
     (total, (losses, new_bs)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
+    return grads, new_bs, dict(losses, total=total)
 
+
+def apply_grads(state: TrainState, grads: Dict, new_bs: Any,
+                total: jnp.ndarray) -> TrainState:
+    """Optimizer update with the reference's non-finite skip
+    (train.py:352-354): gradients are zeroed and every state tree keeps its
+    old value when the total loss is not finite."""
     finite = jnp.isfinite(total)
     safe_grads = jax.tree.map(
         lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
@@ -139,18 +155,24 @@ def train_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
         safe_grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
 
-    # Skip the step entirely when the loss is non-finite
-    # (reference train.py:352-354).
     def keep_new(new, old):
         return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
 
-    state = state.replace(
+    return state.replace(
         step=state.step + 1,
         params=keep_new(new_params, state.params),
         opt_state=keep_new(new_opt_state, state.opt_state),
         batch_stats=keep_new(new_bs, state.batch_stats),
     )
-    losses = dict(losses, total=total)
+
+
+def train_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step as a single traceable function (used by the
+    CPU-mesh tests and the dryrun; on TPU the runtime executes the split
+    two-program form — see ``jit_train_step``)."""
+    grads, new_bs, losses = grad_step(state, batch, cfg)
+    state = apply_grads(state, grads, new_bs, losses["total"])
     return state, losses
 
 
@@ -172,9 +194,25 @@ def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None,
     640x640 activations across chips — the activation-memory scaling axis
     for this CNN (the analogue of context parallelism, SURVEY.md §2 C16).
     """
-    step = functools.partial(train_step, cfg=cfg)
+    # Two-program split: (forward+loss+backward) and (optimizer update) are
+    # separate XLA executables. Fusing them into one program makes this
+    # runtime's scheduler interact pathologically with the per-param update
+    # tail — measured 553.9 ms/iter fused vs ~30 ms split for the identical
+    # math (PRN-101 bs=8 640x640 bf16; see PERF.md round-2 ablations). The
+    # split costs one extra dispatch plus a grads round-trip through HBM
+    # (~0.6 ms) and keeps every buffer on device.
+    gradp = functools.partial(grad_step, cfg=cfg)
+
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        jit_g = jax.jit(gradp)
+        jit_u = jax.jit(apply_grads, donate_argnums=(0, 1))
+
+        def step(state, batch):
+            grads, new_bs, losses = jit_g(state, batch)
+            state = jit_u(state, grads, new_bs, losses["total"])
+            return state, losses
+
+        return step
 
     repl = NamedSharding(mesh, P())
 
@@ -197,6 +235,13 @@ def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None,
         batch = {k: put(k, v) for k, v in batch.items()}
         return state, batch
 
-    jitted = jax.jit(step, out_shardings=(repl, repl), donate_argnums=(0,))
-    jitted.shard_args = shard_args
-    return jitted
+    jit_g = jax.jit(gradp, out_shardings=(repl, repl, repl))
+    jit_u = jax.jit(apply_grads, donate_argnums=(0, 1), out_shardings=repl)
+
+    def step(state, batch):
+        grads, new_bs, losses = jit_g(state, batch)
+        state = jit_u(state, grads, new_bs, losses["total"])
+        return state, losses
+
+    step.shard_args = shard_args
+    return step

@@ -77,6 +77,15 @@ def main():
     p.add_argument("--net_grad_only", action="store_true",
                    help="ablation: grad of sum(preds^2) through the network "
                         "only (isolates network backward from loss backward)")
+    p.add_argument("--aux_losses", action="store_true",
+                   help="with --net_grad_only: also compute the real loss "
+                        "dict as a stop-gradient primal side output")
+    p.add_argument("--no_opt", action="store_true",
+                   help="with --losses: skip tx.update/apply_updates "
+                        "(isolates the optimizer cost)")
+    p.add_argument("--split_timing", action="store_true",
+                   help="time the grad program and the update program "
+                        "separately (block between them)")
     p.add_argument("--losses", default=None, type=str,
                    help="ablation: comma list of losses to keep "
                         "(e.g. 'ins,cat,dpt' drops VNL+lava)")
@@ -148,6 +157,11 @@ def main():
 
             (total, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            if args.no_opt:
+                gnorm = sum(jnp.sum(jnp.abs(g))
+                            for g in jax.tree.leaves(grads))
+                return (state.replace(step=state.step + 1),
+                        dict(losses, total=total + 0 * gnorm))
             updates, opt_state = state.tx.update(
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -156,20 +170,37 @@ def main():
                     dict(losses, total=total))
     elif args.net_grad_only:
         import jax.numpy as jnp
+        from planerecnet_tpu.losses.losses import compute_losses
 
         @jax.jit
         def step(state, batch):
+            rng = jax.random.fold_in(state.rng, state.step)
+
             def loss_fn(params):
                 preds = state.apply_fn(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch["image"], train=True, mutable=["batch_stats"])[0]
                 tot = sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
                           for l in jax.tree.leaves(preds))
-                return tot * 1e-6
-            total, grads = jax.value_and_grad(loss_fn)(state.params)
+                if args.aux_losses:
+                    # The real loss dict as a PRIMAL side output — no
+                    # gradient flows through it (stop_gradient), isolating
+                    # "loss primal coexists with network backward" from
+                    # "loss cotangent path" costs.
+                    aux = compute_losses(
+                        cfg, jax.tree.map(jax.lax.stop_gradient, preds),
+                        batch, rng)
+                    aux = dict(aux, total=sum(aux.values()))
+                else:
+                    aux = {}
+                return tot * 1e-6, aux
+
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
             gnorm = sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(grads))
-            return (state.replace(step=state.step + 1),
-                    {"total": total + 0 * gnorm})
+            out = dict(aux) if aux else {}
+            out["total"] = total + 0 * gnorm
+            return state.replace(step=state.step + 1), out
     else:
         step = jit_train_step(cfg)
     t0 = time.perf_counter()
@@ -181,6 +212,30 @@ def main():
     for _ in range(args.warmup):
         state, losses = step(state, batch)
     jax.block_until_ready(losses)
+
+    if args.split_timing:
+        import functools as _ft
+        from planerecnet_tpu.trainer import apply_grads, grad_step
+        jit_g = jax.jit(_ft.partial(grad_step, cfg=cfg))
+        jit_u = jax.jit(apply_grads)
+        grads, new_bs, losses = jit_g(state, batch)
+        st2 = jit_u(state, grads, new_bs, losses["total"])
+        jax.block_until_ready(st2.params)
+        tg = tu = 0.0
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            grads, new_bs, losses = jit_g(state, batch)
+            jax.block_until_ready(grads)
+            t1 = time.perf_counter()
+            state = jit_u(state, grads, new_bs, losses["total"])
+            jax.block_until_ready(state.params)
+            t2 = time.perf_counter()
+            tg += t1 - t0
+            tu += t2 - t1
+        print(json.dumps({
+            "grad_ms": round(tg / args.iters * 1000, 1),
+            "update_ms": round(tu / args.iters * 1000, 1)}))
+        return
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
