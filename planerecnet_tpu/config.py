@@ -354,6 +354,11 @@ class PlaneRecNetConfig(_FrozenBase):
     max_instances: int = 32          # max GT instances per image
     max_positives: int = 128         # max positive (cell, inst) slots/img/level
     vnl_samples: int = 512           # point-triplet samples per plane / image
+    # VNL runs on at most this many (valid-first) GT planes per image. Real
+    # scenes carry far fewer planes than max_instances padding slots, and
+    # sampling cost scales with the slot count; when n_valid <= cap the
+    # semantics are exactly the reference's (every plane sampled).
+    vnl_max_planes: int = 16
 
     # Compute dtype for conv/matmul heavy paths: "bfloat16", "float32", or
     # "auto" = bfloat16 for INFERENCE on TPU (gated by the bf16 drift tests

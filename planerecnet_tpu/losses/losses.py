@@ -422,11 +422,23 @@ def compute_losses(cfg: PlaneRecNetConfig,
         k_mats = batch["k_matrix"]                           # (B, 3, 3)
         planes = batch["plane_paras"]                        # (B, N, 4)
         rngs = jax.random.split(rng, b)
+        # Compact to the first vnl_max_planes VALID slots: per-plane
+        # sampling cost scales with the slot count, and padding slots would
+        # be sampled then masked. Exact reference semantics whenever
+        # n_valid <= cap (config.py vnl_max_planes).
+        n_slots = gt_masks.shape[1]
+        vp = min(cfg.vnl_max_planes, n_slots)
+        order = jnp.argsort(~gt_valid, axis=1, stable=True)[:, :vp]
+        vnl_masks = jnp.take_along_axis(
+            gt_masks.astype(bool), order[:, :, None, None], axis=1)
+        vnl_normals = jnp.take_along_axis(
+            planes[..., :3], order[:, :, None], axis=1)
+        vnl_valid = jnp.take_along_axis(gt_valid, order, axis=1)
         vfn = functools.partial(vnl_loss_single,
                                 num_samples=cfg.vnl_samples)
         pln = jax.vmap(vfn)(
-            rngs, depth_up[..., 0], gt_masks.astype(bool),
-            planes[..., :3], gt_valid, gt_depths[..., 0], k_mats)
+            rngs, depth_up[..., 0], vnl_masks,
+            vnl_normals, vnl_valid, gt_depths[..., 0], k_mats)
         losses["pln"] = cfg.pln_weight * jnp.mean(pln)
 
     # --- lava loss (reference losses.py:169-197) ---

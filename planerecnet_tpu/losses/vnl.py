@@ -32,15 +32,56 @@ import jax.numpy as jnp
 
 
 def _sample_mask_indices(rng: jax.Array, mask_flat: jnp.ndarray,
-                         shape: Tuple[int, ...]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         shape: Tuple[int, ...],
+                         hw: Tuple[int, int],
+                         oversample: int = 3
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Uniformly sample flat pixel indices from a boolean mask, with
-    replacement. Returns (indices, ok) where ok=False if the mask is empty."""
-    counts = jnp.cumsum(mask_flat.astype(jnp.int32))
+    replacement. Returns (indices, ok) where ok=False if the mask is empty.
+
+    TPU-native two-stage sampler: (1) draw ``oversample * prod(shape)``
+    candidate pixels uniformly from the mask's bounding box and gather their
+    mask bits; (2) resample the required count with replacement among the
+    accepted candidates via an inverse-CDF search over the SMALL candidate
+    cumsum (``scan_unrolled``: no while loop, VMEM-resident operand).
+
+    This replaces a full-image cumsum + ``jnp.searchsorted``, whose
+    scan-method binary search carried a (N, H*W) s32 CDF through an XLA
+    while loop — measured at ~315 ms of a 533 ms PRN-101 bs=8 train step on
+    one v5e chip (the single largest op; PERF.md round-2 trace). Marginal
+    law stays uniform-over-mask; samples are exchangeable but weakly
+    correlated through the shared candidate set, and a mask filling < ~0.1%
+    of its bounding box can fail to accept any candidate (ok=False) —
+    documented divergences in the module docstring.
+    """
+    h, w = hw
+    n_total = 1
+    for s in shape:
+        n_total *= s
+    n_cand = oversample * n_total
+    r_yx, r_u = jax.random.split(rng)
+
+    m2 = mask_flat.reshape(h, w)
+    rows = jnp.any(m2, axis=1)
+    cols = jnp.any(m2, axis=0)
+    y0 = jnp.argmax(rows).astype(jnp.int32)
+    y1 = (h - 1 - jnp.argmax(rows[::-1])).astype(jnp.int32)
+    x0 = jnp.argmax(cols).astype(jnp.int32)
+    x1 = (w - 1 - jnp.argmax(cols[::-1])).astype(jnp.int32)
+
+    pyx = jax.random.randint(
+        r_yx, (2, n_cand), jnp.stack([y0, x0])[:, None],
+        jnp.stack([y1, x1])[:, None] + 1)
+    cand = pyx[0] * w + pyx[1]                              # (n_cand,)
+    good = mask_flat[cand]
+    counts = jnp.cumsum(good.astype(jnp.int32))
     total = counts[-1]
     ok = total > 0
-    # u ~ Uniform{1..total}; searchsorted finds the u-th set pixel.
-    u = jax.random.randint(rng, shape, 1, jnp.maximum(total, 1) + 1)
-    idx = jnp.searchsorted(counts, u, side="left")
+
+    u = jax.random.randint(r_u, shape, 1, jnp.maximum(total, 1) + 1)
+    pos = jnp.searchsorted(counts, u, side="left",
+                           method="scan_unrolled")
+    idx = cand[jnp.minimum(pos, n_cand - 1)]
     return jnp.minimum(idx, mask_flat.shape[0] - 1), ok
 
 
@@ -172,7 +213,8 @@ def vnl_loss_single(rng: jax.Array,
     masks_flat = gt_masks.reshape(n, -1)
 
     def per_plane(rng_i, mask_i, normal_i, valid_i):
-        idx, ok = _sample_mask_indices(rng_i, mask_i, (3, num_samples))
+        idx, ok = _sample_mask_indices(rng_i, mask_i, (3, num_samples),
+                                       (h, w))
         pw = _form_triplets(pred_pc, idx)
         tri_valid = _filter_mask(pw, delta_z) & ok & valid_i
         dt_normal = _normals(pw)
@@ -192,7 +234,8 @@ def vnl_loss_single(rng: jax.Array,
     # (reference vnl.py:141-162).
     np_mask = ~jnp.any(gt_masks & gt_valid[:, None, None], axis=0).reshape(-1)
     gt_pc = _point_cloud(gt_depth, fx, fy, u0, v0)
-    idx, np_ok = _sample_mask_indices(rngs[n], np_mask, (3, num_samples))
+    idx, np_ok = _sample_mask_indices(rngs[n], np_mask, (3, num_samples),
+                                      (h, w))
     pw_gt = _form_triplets(gt_pc, idx)
     tri_valid = _filter_mask(pw_gt, delta_z, delta_diff=0.1) & np_ok
     pw_pred = _form_triplets(pred_pc, idx)

@@ -86,6 +86,9 @@ def main():
     p.add_argument("--split_timing", action="store_true",
                    help="time the grad program and the update program "
                         "separately (block between them)")
+    p.add_argument("--trace", default=None, type=str,
+                   help="write a jax.profiler device trace of 3 steps to "
+                        "this directory before the timed loop")
     p.add_argument("--losses", default=None, type=str,
                    help="ablation: comma list of losses to keep "
                         "(e.g. 'ins,cat,dpt' drops VNL+lava)")
@@ -237,10 +240,20 @@ def main():
             "update_ms": round(tu / args.iters * 1000, 1)}))
         return
 
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        for _ in range(3):
+            state, losses = step(state, batch)
+        _ = jax.device_get(losses)  # force the chain before stop
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace}")
+
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, losses = step(state, batch)
-    jax.block_until_ready(losses)
+    # device_get forces the WHOLE chain (block_until_ready on this runtime
+    # can return while work is still queued — measured; see PERF.md).
+    losses = jax.device_get(losses)
     dt = (time.perf_counter() - t0) / args.iters
 
     total = float(losses["total"])
