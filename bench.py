@@ -6,16 +6,23 @@ accelerator, mirroring the reference FPS harness
 (reference planerecnet.py:610-677, measured at 19.1 FPS for PRN-50 on an
 RTX 3090, README.md:35-37).
 
-Every iteration feeds a DISTINCT pre-generated frame (pre-staged on device),
-so no result/transfer caching can inflate the number; the timed loop keeps
-at most ``queue_depth`` dispatches in flight (a bounded async pipeline, the
-serving pattern) and ends with a full drain.
+Methodology (honest on THIS runtime — see PERF.md):
+
+* every iteration feeds a DISTINCT pre-generated frame, pre-staged on
+  device, so result/transfer caching cannot inflate the number;
+* ``block_until_ready`` on the axon tunnel can return while work is still
+  queued, so completion is proven by ``jax.device_get`` of an output leaf —
+  device execution is in-order, so materialising the LAST frame's scores
+  proves every dispatched frame executed (``throughput`` below);
+* a per-frame ``device_get`` costs a full ~40 ms RPC round-trip through the
+  development tunnel (vs ~0.5 ms of device compute), so the fully
+  synchronous number measures tunnel latency, not the chip — it is reported
+  separately as ``sync_roundtrip_ms``.
 """
 
 import argparse
 import json
 import time
-from collections import deque
 
 import numpy as np
 
@@ -28,8 +35,9 @@ def main():
     parser.add_argument("--warmup", default=5, type=int)
     parser.add_argument("--height", default=480, type=int)
     parser.add_argument("--width", default=640, type=int)
-    parser.add_argument("--queue_depth", default=4, type=int,
-                        help="max in-flight dispatches during the timed loop")
+    parser.add_argument("--sync_iters", default=10, type=int,
+                        help="iterations for the per-frame-roundtrip "
+                             "latency measurement (0 disables)")
     parser.add_argument("--dtype", default=None,
                         choices=[None, "float32", "bfloat16"])
     parser.add_argument("--image", default=None, type=str,
@@ -61,27 +69,36 @@ def main():
         frames = [(rng.rand(*shape) * 255).astype(np.float32)
                   for _ in range(args.iters)]
 
+    def force(out):
+        # device_get of one small output leaf: execution is in-order, so
+        # this frame's value existing proves every prior dispatch executed.
+        return jax.device_get(out["pred_scores"])
+
     # Warmup (compile included).
     for i in range(args.warmup):
-        jax.block_until_ready(net.infer(frames[i % args.iters]))
+        force(net.infer(frames[i % args.iters]))
 
     # Pre-stage all distinct frames on device so the timed loop measures the
-    # compute pipeline, not host->device PCIe copies of the random inputs.
+    # compute pipeline, not host->device copies of the random inputs.
     import jax.numpy as jnp
     device_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
-    jax.block_until_ready(device_frames)
+    force(net.infer(device_frames[-1]))
 
+    # Throughput: dispatch every frame, then force the last one.
     t0 = time.perf_counter()
-    inflight = deque()
-    for f in device_frames:
-        inflight.append(net.infer(f))
-        if len(inflight) > args.queue_depth:
-            jax.block_until_ready(inflight.popleft())
-    while inflight:
-        jax.block_until_ready(inflight.popleft())
+    outs = [net.infer(f) for f in device_frames]
+    force(outs[-1])
     dt = time.perf_counter() - t0
-
     imgs_per_sec = args.batch_size * args.iters / dt
+
+    # Latency: one frame at a time, each forced to host.
+    sync_ms = None
+    if args.sync_iters:
+        t0 = time.perf_counter()
+        for i in range(args.sync_iters):
+            force(net.infer(device_frames[i % args.iters]))
+        sync_ms = (time.perf_counter() - t0) / args.sync_iters * 1000
+
     baseline = 19.1  # PRN-50 RTX 3090 FPS (reference README.md:35-37)
     # Report the dtype that actually ran: "auto" resolves to bf16 for
     # inference on TPU (accuracy-gated, tests/test_bf16.py), f32 elsewhere.
@@ -89,14 +106,17 @@ def main():
     if dtype == "auto":
         dtype = ("auto:bf16" if jax.default_backend() == "tpu"
                  else "auto:f32")
-    print(json.dumps({
+    out = {
         "metric": f"{args.height}x{args.width} images/sec/chip "
                   f"(PRN-50 inference, batch={args.batch_size}, "
                   f"{dtype}, distinct frames)",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
-    }))
+    }
+    if sync_ms is not None:
+        out["sync_roundtrip_ms"] = round(sync_ms, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -79,8 +79,11 @@ def _sample_mask_indices(rng: jax.Array, mask_flat: jnp.ndarray,
     ok = total > 0
 
     u = jax.random.randint(r_u, shape, 1, jnp.maximum(total, 1) + 1)
-    pos = jnp.searchsorted(counts, u, side="left",
-                           method="scan_unrolled")
+    # compare_all: one fused broadcast-compare + reduce instead of a binary
+    # search — TPU per-element gathers cost ~40x their bytes, while the
+    # O(queries x candidates) compare streams on the VPU (~0.6 ms/step vs
+    # ~33 ms for the unrolled search at production shapes).
+    pos = jnp.searchsorted(counts, u, side="left", method="compare_all")
     idx = cand[jnp.minimum(pos, n_cand - 1)]
     return jnp.minimum(idx, mask_flat.shape[0] - 1), ok
 

@@ -92,7 +92,9 @@ def _corner_data(sy, sx, h, w):
 
 def _gather_corners(x_flat, flat_ids):
     """4 corner gathers: x_flat (B, H*W, C), flat_ids (B, R, 4) ->
-    (B, R, 4, C)."""
+    (B, R, 4, C). Four separate R-row gathers beat one (B, 4R) combined
+    gather here — the combined output exceeds the scoped-VMEM budget and
+    regressed the train step ~50 ms (trace-measured, round 2)."""
     outs = [jnp.take_along_axis(x_flat, flat_ids[..., i:i + 1], axis=1)
             for i in range(4)]
     return jnp.stack(outs, axis=2)

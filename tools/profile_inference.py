@@ -18,14 +18,23 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def timeit(fn, *args, iters=20, warmup=3):
+def _force(out):
+    """Materialise one leaf on host: the whole program must have executed
+    for its value to exist. (block_until_ready on this runtime can return
+    while work is still queued — PERF.md.)"""
     import jax
+    leaf = jax.tree.leaves(out)[0]
+    return jax.device_get(leaf.ravel()[:1] if hasattr(leaf, "ravel")
+                          else leaf)
+
+
+def timeit(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 

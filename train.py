@@ -112,6 +112,13 @@ def parse_args(argv=None):
                              "never applied; off by default for parity).")
     parser.add_argument("--n_devices", default=None, type=int,
                         help="Data-parallel mesh size (default: all devices).")
+    parser.add_argument("--dtype", default=None,
+                        choices=[None, "float32", "bfloat16"],
+                        help="Training compute dtype. Default keeps the "
+                             "config ('auto' resolves to f32 for training); "
+                             "bfloat16 is ~1.8x faster per step "
+                             "(loss-scale-free stability covered by "
+                             "tests/test_bf16.py).")
     parser.add_argument("--multihost", action="store_true",
                         help="Initialise the JAX distributed runtime "
                              "(jax.distributed.initialize) so the data mesh "
@@ -133,6 +140,8 @@ def main(argv=None):
     cfg = set_cfg(args.config)
     if args.dataset is not None:
         cfg = set_dataset(cfg, args.dataset)
+    if args.dtype:
+        cfg = cfg.copy(dict(compute_dtype=args.dtype))
 
     # Batch-size autoscaling (reference train.py:91-97).
     if args.autoscale and args.batch_size != 8:
