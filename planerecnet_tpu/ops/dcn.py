@@ -100,13 +100,57 @@ def _gather_corners(x_flat, flat_ids):
     return jnp.stack(outs, axis=2)
 
 
+def _gather_patches(x: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """One 2x2xC-patch gather per sample: x (B, H, W, C), y0/x0 (B, R)
+    top-left corner coords (may be out of range) -> (B, R, 4, C) in corner
+    order (00, 01, 10, 11).
+
+    The operand is padded by a 1-pixel zero margin on every side so the
+    patch start ``clip(y0, -1, H-1) + 1`` always covers the VALID corner
+    rows/cols exactly: for y0 = -1 the patch is (margin, row 0) and the
+    invalid corner carries zero weight; for y0 = H-1 it is (row H-1,
+    margin). Any sample fully out of range has all-zero weights and its
+    patch values are irrelevant.
+    """
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    starts = jnp.stack([jnp.clip(y0, -1, h - 1) + 1,
+                        jnp.clip(x0, -1, w - 1) + 1], axis=-1)  # (B, R, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    out = jax.lax.gather(
+        xp, starts, dnums, slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return out.reshape(b, y0.shape[1], 4, c)
+
+
+# Corner-sampling strategy for the forward: "rows" = 4 separate row
+# gathers from the flattened (B, H*W, C) map; "patch" = one 2x2xC patch
+# gather (corners are memory-adjacent). Module-level because flax modules
+# call deform_conv2d without a config handle; read at trace time.
+import os as _os
+
+CORNER_GATHER = _os.environ.get("PRN_CORNER_GATHER", "rows")
+
+
 def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
                      sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
     """Bilinearly sample ``x_flat``: (B, H*W, C) at float positions with
     zero out-of-bounds semantics (torchvision deform_conv2d convention).
     Returns (B, R, C)."""
-    _, _, ws, ids, _ = _corner_data(sy, sx, h, w)
-    corners = _gather_corners(x_flat, ids)            # (B, R, 4, C)
+    y0, x0, ws, ids, _ = _corner_data(sy, sx, h, w)
+    if CORNER_GATHER == "patch":
+        b = x_flat.shape[0]
+        corners = _gather_patches(
+            x_flat.reshape(b, h, w, -1), y0, x0)      # (B, R, 4, C)
+    else:
+        corners = _gather_corners(x_flat, ids)        # (B, R, 4, C)
     return jnp.sum(corners * ws[..., None].astype(corners.dtype), axis=2)
 
 

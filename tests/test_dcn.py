@@ -205,3 +205,35 @@ def test_pallas_scatter_banded(monkeypatch):
         got = np.asarray(ds.dcn_input_grad_pallas(
             jnp.asarray(idx), jnp.asarray(cw), jnp.asarray(dcols), h, w))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_patch_gather_mode_bit_exact():
+    """CORNER_GATHER='patch' (one 2x2xC patch gather) must match the
+    default row-gather path bit-for-bit, forward and all gradients,
+    including far out-of-bounds offsets."""
+    from planerecnet_tpu.ops import dcn
+
+    rng = np.random.RandomState(3)
+    b, h, w, cin, cout = 2, 9, 12, 8, 16
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    off = jnp.asarray(rng.randn(b, h, w, 18) * 4, jnp.float32)
+    m = jnp.asarray(rng.rand(b, h, w, 9), jnp.float32)
+    wt = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+
+    def loss(*a):
+        return jnp.sum(jnp.square(dcn.deform_conv2d(*a)))
+
+    prev = dcn.CORNER_GATHER
+    try:
+        dcn.CORNER_GATHER = "rows"
+        ref = dcn.deform_conv2d(x, off, m, wt)
+        gref = jax.grad(loss, argnums=(0, 1, 2, 3))(x, off, m, wt)
+        dcn.CORNER_GATHER = "patch"
+        new = dcn.deform_conv2d(x, off, m, wt)
+        gnew = jax.grad(loss, argnums=(0, 1, 2, 3))(x, off, m, wt)
+    finally:
+        dcn.CORNER_GATHER = prev
+
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+    for a, c in zip(gref, gnew):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

@@ -243,3 +243,35 @@ def test_vnl_nonzero_for_wrong_normal():
         jnp.asarray([True]), depth, k, num_samples=128,
         sample_nonplanar=False)
     assert float(loss) > 0.05
+
+
+def test_vnl_sampler_uniform_over_mask():
+    """The two-stage (bbox-rejection + inverse-CDF) sampler draws only
+    in-mask pixels, with-replacement, roughly uniformly."""
+    from planerecnet_tpu.losses.vnl import _sample_mask_indices
+
+    h, w = 60, 80
+    mask = np.zeros((h, w), bool)
+    mask[10:40, 20:70] = True          # 1500 px in a 30x50 bbox
+    mask[15:25, 30:40] = False         # hole: acceptance < 1 inside bbox
+    flat = jnp.asarray(mask.reshape(-1))
+
+    idx, ok = _sample_mask_indices(
+        jax.random.PRNGKey(3), flat, (3, 2000), (h, w))
+    idx = np.asarray(idx).reshape(-1)
+    assert bool(ok)
+    assert mask.reshape(-1)[idx].all()          # only in-mask pixels
+
+    # Rough uniformity: the left and right halves of the mask get samples
+    # proportional to their areas (within 15% relative).
+    xs = idx % w
+    left_area = mask[:, :45].sum()
+    right_area = mask[:, 45:].sum()
+    left_frac = (xs < 45).mean()
+    expect = left_area / (left_area + right_area)
+    assert abs(left_frac - expect) / expect < 0.15, (left_frac, expect)
+
+    # Empty mask -> ok is False.
+    _, ok0 = _sample_mask_indices(
+        jax.random.PRNGKey(0), jnp.zeros(h * w, bool), (3, 64), (h, w))
+    assert not bool(ok0)
