@@ -249,10 +249,16 @@ def prepare_ground_truth(cfg: PlaneRecNetConfig,
     mask_sums = jnp.sum(masksf, axis=(2, 3))
     cx, cy = jax.vmap(center_of_mass)(masksf)
 
-    # Device-side 1/4 rescale; cv2 INTER_LINEAR on uint8 rounds to nearest.
+    # Device-side 1/4 rescale. cv2 INTER_LINEAR on uint8 rounds HALF UP in
+    # its fixed-point arithmetic (not jnp.round's half-to-even) — at the
+    # exact 4x downscale every source frac is 0.5, so half-pixel values are
+    # common and the convention matters; floor(x + 0.5) reproduces the
+    # reference's cv2 round-trip bit-exactly (pinned by
+    # tests/test_losses.py::test_masks4_matches_reference_cv2_rescale
+    # against reference models/functions/losses.py:243-247).
     masks4 = resize_bilinear(
         masksf.reshape(b * n, h, w, 1), (h // 4, w // 4))
-    masks4 = jnp.round(masks4).reshape(b, n, h // 4, w // 4)
+    masks4 = jnp.floor(masks4 + 0.5).reshape(b, n, h // 4, w // 4)
 
     out = {"cate_labels": [], "ins_inds": [], "pos_cells": [],
            "pos_insts": [], "pos_valids": [], "masks4": masks4}
@@ -434,11 +440,16 @@ def compute_losses(cfg: PlaneRecNetConfig,
         vnl_normals = jnp.take_along_axis(
             planes[..., :3], order[:, :, None], axis=1)
         vnl_valid = jnp.take_along_axis(gt_valid, order, axis=1)
+        # Non-planar region from the FULL pre-compaction GT set: planes
+        # dropped by the cap are unsampled, not reclassified as non-planar.
+        full_np = ~jnp.any(
+            gt_masks.astype(bool) & gt_valid[:, :, None, None],
+            axis=1).reshape(b, -1)
         vfn = functools.partial(vnl_loss_single,
                                 num_samples=cfg.vnl_samples)
         pln = jax.vmap(vfn)(
             rngs, depth_up[..., 0], vnl_masks,
-            vnl_normals, vnl_valid, gt_depths[..., 0], k_mats)
+            vnl_normals, vnl_valid, gt_depths[..., 0], k_mats, full_np)
         losses["pln"] = cfg.pln_weight * jnp.mean(pln)
 
     # --- lava loss (reference losses.py:169-197) ---

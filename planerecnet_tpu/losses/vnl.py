@@ -25,7 +25,7 @@ Divergences from the reference (deliberate):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -194,6 +194,7 @@ def vnl_loss_single(rng: jax.Array,
                     gt_valid: jnp.ndarray,
                     gt_depth: jnp.ndarray,
                     k_matrix: jnp.ndarray,
+                    np_mask: Optional[jnp.ndarray] = None,
                     num_samples: int = 512,
                     delta_z: float = 1e-4,
                     sample_nonplanar: bool = True) -> jnp.ndarray:
@@ -206,6 +207,11 @@ def vnl_loss_single(rng: jax.Array,
       gt_valid:   (N,) instance validity.
       gt_depth:   (H, W) GT depth.
       k_matrix:   (3, 3) camera intrinsics.
+      np_mask:    optional (H*W,) bool non-planar region. When the caller
+                  compacts ``gt_masks`` to a plane cap, this must be computed
+                  from the FULL pre-compaction set — otherwise pixels of
+                  dropped planes would be treated as non-planar and fed into
+                  the pred-vs-gt normal consistency term.
     """
     n, h, w = gt_masks.shape
     fx = k_matrix[0, 0]
@@ -235,7 +241,9 @@ def vnl_loss_single(rng: jax.Array,
 
     # Non-planar region: virtual-normal consistency pred vs gt point clouds
     # (reference vnl.py:141-162).
-    np_mask = ~jnp.any(gt_masks & gt_valid[:, None, None], axis=0).reshape(-1)
+    if np_mask is None:
+        np_mask = ~jnp.any(
+            gt_masks & gt_valid[:, None, None], axis=0).reshape(-1)
     gt_pc = _point_cloud(gt_depth, fx, fy, u0, v0)
     idx, np_ok = _sample_mask_indices(rngs[n], np_mask, (3, num_samples),
                                       (h, w))

@@ -150,6 +150,50 @@ def test_prepare_ground_truth_assignment():
             assert got_cells == set()
 
 
+def test_masks4_matches_reference_cv2_rescale():
+    """The device-side x1/4 GT-mask rescale (prepare_ground_truth's
+    ``masks4``) must reproduce the reference's host cv2 round-trip
+    bit-exactly: uint8 masks -> cv2.resize(..., INTER_LINEAR) at scale 0.25
+    (reference models/functions/losses.py:243-247 via funcs.py imrescale).
+    This feeds the dice loss directly; a half-pixel-convention mismatch
+    would silently move mAP."""
+    cv2 = pytest.importorskip("cv2")
+
+    h, w, n = 96, 128, 4
+    rng = np.random.RandomState(7)
+    # Realistic blob masks: threshold of smoothed noise (irregular
+    # boundaries hit every bilinear fraction).
+    masks = np.zeros((n, h, w), np.uint8)
+    for i in range(n):
+        noise = rng.rand(h // 8, w // 8).astype(np.float32)
+        up = cv2.resize(noise, (w, h), interpolation=cv2.INTER_CUBIC)
+        masks[i] = (up > 0.55).astype(np.uint8)
+    masks[0, :3, :] = 1      # touch the borders
+    masks[1, :, -2:] = 1
+
+    # Reference path (losses.py:243-247): (N,H,W) -> (H,W,N) uint8 ->
+    # imrescale(scale=1/4) == cv2.resize to (round(w/4), round(h/4)),
+    # INTER_LINEAR -> uint8.
+    hwn = np.transpose(masks, (1, 2, 0))
+    new_size = (int(w * 0.25 + 0.5), int(h * 0.25 + 0.5))
+    want = cv2.resize(hwn, new_size, interpolation=cv2.INTER_LINEAR)
+    want = np.transpose(want.astype(np.uint8), (2, 0, 1))   # (N, h/4, w/4)
+
+    cfg = PlaneRecNet_50_config.copy(dict(max_instances=n, max_positives=16))
+    out = prepare_ground_truth(
+        cfg,
+        jnp.zeros((1, n, 4), jnp.float32),
+        jnp.ones((1, n), jnp.int32),
+        jnp.ones((1, n), bool),
+        jnp.asarray(masks[None], jnp.float32),
+        num_levels=4)
+    got = np.asarray(out["masks4"][0]).astype(np.uint8)
+
+    assert got.shape == want.shape
+    mismatch = int((got != want).sum())
+    assert mismatch == 0, f"{mismatch}/{want.size} pixels differ from cv2"
+
+
 def _tiny_batch(cfg, rng, b=2, h=64, w=64, n=4):
     imgs = rng.randn(b, h, w, 3).astype(np.float32)
     depth = (rng.rand(b, h, w, 1) * 3 + 0.5).astype(np.float32)
