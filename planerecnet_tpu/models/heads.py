@@ -46,16 +46,34 @@ class SOLOv2InsHead(nn.Module):
         # Shared towers: modules are constructed once and re-applied per
         # level (the reference shares cate_tower/kernel_tower across levels,
         # planerecnet.py:322-344).
+        #
+        # ``use_dcn_in_instance`` builds the towers from DCNv2 blocks. NB the
+        # reference carries this flag but its own plumbing is DEAD CODE:
+        # reference planerecnet.py:324 unpacks ``use_deformable`` and line
+        # 326 then hard-codes ``conv_func = nn.Conv2d`` unconditionally, so
+        # the flag never has an effect there (and no released checkpoint can
+        # contain DCN tower weights). Here the flag's *intended* semantics
+        # (deformable tower convs, as in upstream SOLOv2) are implemented;
+        # default False preserves exact reference behaviour.
+        if c.use_dcn_in_instance:
+            from planerecnet_tpu.models.backbone import DeformableConv2d
+
+            def make_conv(name):
+                return DeformableConv2d(c.instance_channels, use_bias=False,
+                                        dtype=self.dtype, name=name)
+        else:
+            def make_conv(name):
+                return XConv(c.instance_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)],
+                             use_bias=False,  # norm == GN
+                             dtype=self.dtype, name=name)
+
         towers = {}
         for name in ("kernel", "cate"):
             stages = []
             for i in range(c.num_instance_convs):
                 stages.append((
-                    XConv(c.instance_channels, (3, 3),
-                            padding=[(1, 1), (1, 1)],
-                            use_bias=False,  # norm == GN
-                            dtype=self.dtype,
-                            name=f"{name}_tower{i}_conv"),
+                    make_conv(f"{name}_tower{i}_conv"),
                     nn.GroupNorm(num_groups=32, epsilon=1e-5,
                                  name=f"{name}_tower{i}_gn"),
                 ))

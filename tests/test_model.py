@@ -89,6 +89,36 @@ def test_backbone_dcn_plan():
     assert plan[3][4] == (True, False, False)
 
 
+def test_use_dcn_in_instance_builds_deformable_towers():
+    """use_dcn_in_instance=True builds DCNv2 tower convs in the instance
+    head. NB the reference's own plumbing for this flag is dead code
+    (reference planerecnet.py:324 unpacks ``use_deformable``, line 326
+    hard-codes ``conv_func = nn.Conv2d``); we implement the *intended*
+    semantics and keep the default-False path byte-identical."""
+    cfg = TINY.copy(dict(solov2=TINY.solov2.copy(dict(
+        use_dcn_in_instance=True))))
+    model = PlaneRecNet(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    head = variables["params"]["inst_head"]
+    dcn_convs = [k for k, v in head.items()
+                 if k.endswith("_conv") and isinstance(v, dict)
+                 and "offset_conv" in v]
+    # 3 tower convs per shared cate/kernel tower (PRN-50 light config)
+    assert len(dcn_convs) == 2 * TINY.solov2.num_instance_convs
+
+    preds = model.apply(variables, x)
+    assert len(preds["cate_preds"]) == 4
+
+    # default-False structure stays plain (no offset convs anywhere in head)
+    plain = PlaneRecNet(TINY)
+    v2 = plain.init(jax.random.PRNGKey(0), x)
+    assert not any("offset_conv" in v for v in
+                   v2["params"]["inst_head"].values()
+                   if isinstance(v, dict))
+
+
 def test_fpn_high_level_original():
     """Base config appends p6 via stride-2 subsample (reference fpn.py:66)."""
     model = PlaneRecNet(PlaneRecNet_base_config.copy(dict(
