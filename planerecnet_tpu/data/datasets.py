@@ -395,7 +395,11 @@ class BatchIterator:
         per_shard = self.batch_size // self.num_shards
         for i in range(0, len(order), self.batch_size):
             idx = order[i:i + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
+            # A short tail batch is always dropped when sharding: a partial
+            # global batch would give processes empty/unequal shards and
+            # desynchronise their step counts.
+            if len(idx) < self.batch_size and (
+                    self.drop_last or self.num_shards > 1):
                 return
             lo = self.shard_index * per_shard
             samples = [self.dataset[j] for j in idx[lo:lo + per_shard]]

@@ -84,10 +84,24 @@ def load_train_state(path: str, state):
             treedef, [np.asarray(v).reshape(l.shape).astype(l.dtype)
                       for v, l in zip(ordered, leaves_t)])
 
+    try:
+        opt_state = restore(state.opt_state, nested["opt_state"])
+    except AssertionError:
+        # Optimizer-layout migration: checkpoints written before the
+        # flattened-Adam core (optax.flatten) carry per-leaf moment trees
+        # that no longer match the template. Resume with params/step intact
+        # and fresh optimizer moments (Adam re-warms within ~1/(1-b2) steps)
+        # rather than refusing the checkpoint.
+        import warnings
+        warnings.warn(
+            f"{path}: opt_state layout differs from the current optimizer "
+            "(pre-flatten checkpoint?); resuming with fresh optimizer state.")
+        opt_state = state.opt_state
+
     return state.replace(
         params=restore(state.params, nested["params"]),
         batch_stats=restore(state.batch_stats, nested["batch_stats"]),
-        opt_state=restore(state.opt_state, nested["opt_state"]),
+        opt_state=opt_state,
         step=int(np.asarray(nested["step"])),
         rng=jax.numpy.asarray(nested["rng"], dtype=jax.numpy.uint32),
     )

@@ -162,6 +162,80 @@ def test_converted_conv_bn_matches_torch_numerics():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_train_state_optimizer_layout_migration(tmp_path):
+    """A train-state checkpoint whose opt_state layout predates the
+    optax.flatten optimizer core must still resume: params/batch_stats/step
+    restored, optimizer moments re-initialised (with a warning) instead of
+    the loader refusing the file."""
+    import optax
+    from planerecnet_tpu.config import PlaneRecNet_tiny_config
+    from planerecnet_tpu.trainer import TrainState, make_optimizer
+
+    params = {"backbone": {"w": jnp.full((3,), 2.0)},
+              "head": {"b": jnp.full((2,), -1.0)}}
+    batch_stats = {"bn": {"mean": jnp.zeros((3,))}}
+
+    # Old-style state: per-leaf Adam moments (no optax.flatten).
+    old = TrainState.create(
+        apply_fn=lambda *a, **k: None, params=params,
+        tx=optax.adam(1e-3), batch_stats=batch_stats,
+        rng=jax.random.PRNGKey(0))
+    old = old.replace(step=17)
+    path = str(tmp_path / "old_layout.npz")
+    ckpt.save_train_state(path, old)
+
+    # Current-style template: flattened Adam core.
+    new = TrainState.create(
+        apply_fn=lambda *a, **k: None,
+        params=jax.tree.map(jnp.zeros_like, params),
+        tx=make_optimizer(PlaneRecNet_tiny_config),
+        batch_stats=jax.tree.map(jnp.zeros_like, batch_stats),
+        rng=jax.random.PRNGKey(1))
+    fresh_opt = jax.tree.map(np.asarray, new.opt_state)
+
+    with pytest.warns(UserWarning, match="opt_state layout"):
+        restored = ckpt.load_train_state(path, new)
+
+    assert restored.step == 17
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["backbone"]["w"]), np.full((3,), 2.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored.batch_stats["bn"]["mean"]), np.zeros((3,)))
+    # opt_state kept the template's (fresh) layout and values
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), b), restored.opt_state, fresh_opt)
+
+
+def test_train_state_roundtrip_same_layout(tmp_path):
+    """Same-layout save/load restores the optimizer moments exactly."""
+    from planerecnet_tpu.config import PlaneRecNet_tiny_config
+    from planerecnet_tpu.trainer import TrainState, make_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    bs = {"bn": {"mean": jnp.zeros((4,))}}
+    tx = make_optimizer(PlaneRecNet_tiny_config)
+    state = TrainState.create(apply_fn=lambda *a, **k: None, params=params,
+                              tx=tx, batch_stats=bs, rng=jax.random.PRNGKey(0))
+    # take one update so the moments are non-trivial
+    grads = {"w": jnp.full((4,), 0.5)}
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    state = state.replace(
+        params=jax.tree.map(lambda p, u: p + u, state.params, updates),
+        opt_state=opt_state, step=3)
+
+    path = str(tmp_path / "state.npz")
+    ckpt.save_train_state(path, state)
+    template = TrainState.create(
+        apply_fn=lambda *a, **k: None,
+        params=jax.tree.map(jnp.zeros_like, params), tx=tx,
+        batch_stats=jax.tree.map(jnp.zeros_like, bs),
+        rng=jax.random.PRNGKey(9))
+    restored = ckpt.load_train_state(path, template)
+    assert restored.step == 3
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), restored.opt_state, state.opt_state)
+
+
 def test_converted_groupnorm_matches_torch():
     torch = pytest.importorskip("torch")
     import flax.linen as fnn

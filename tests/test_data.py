@@ -237,3 +237,27 @@ def test_batch_iterator_multihost_sharding(scannet_root):
 
     with pytest.raises(ValueError):
         BatchIterator(cfg, ds, batch_size=2, num_shards=4)
+
+
+def test_batch_iterator_sharded_tail_always_dropped(scannet_root):
+    """With num_shards > 1 a short tail batch is dropped even when
+    drop_last=False: a partial global batch would give processes
+    empty/unequal shards and desynchronise their step counts."""
+    root, anno = scannet_root
+    cfg = _cfg_for(root, anno)
+    ds = build_dataset(cfg, "train", transform=BaseTransform(cfg))
+    assert len(ds) == 3  # batch_size=2 -> one full batch + a 1-image tail
+
+    # Unsharded, drop_last=False: the tail IS yielded (batch of 1).
+    solo = list(BatchIterator(cfg, ds, batch_size=2, seed=3, drop_last=False))
+    assert [b["image"].shape[0] for b in solo] == [2, 1]
+
+    # Sharded: every process sees exactly the same (full) batch count.
+    counts = []
+    for i in range(2):
+        batches = list(BatchIterator(cfg, ds, batch_size=2, seed=3,
+                                     shard_index=i, num_shards=2,
+                                     drop_last=False))
+        assert all(b["image"].shape[0] == 1 for b in batches)
+        counts.append(len(batches))
+    assert counts == [1, 1]

@@ -146,6 +146,29 @@ def test_loss_decreases_over_steps():
     assert last < first * 0.9, (first, last)
 
 
+def test_per_module_lr_multipliers():
+    """per_module_lr=True applies the reference's *intended* Adam lr groups —
+    5x for the backbone, 2x for the depth decoder, 1x elsewhere (reference
+    train.py:251-256; its set_lr bug meant they never took effect there)."""
+    from planerecnet_tpu.trainer import make_optimizer
+
+    cfg = _tiny_cfg()
+    tx = make_optimizer(cfg, base_lr=1e-3, per_module_lr=True)
+    params = {"backbone": {"w": jnp.ones((4,))},
+              "depth_decoder": {"w": jnp.ones((4,))},
+              "inst_head": {"w": jnp.ones((4,))}}
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+
+    u_backbone = float(updates["backbone"]["w"][0])
+    u_depth = float(updates["depth_decoder"]["w"][0])
+    u_other = float(updates["inst_head"]["w"][0])
+    assert u_other < 0  # descent direction for positive gradients
+    assert u_backbone == pytest.approx(5.0 * u_other, rel=1e-5)
+    assert u_depth == pytest.approx(2.0 * u_other, rel=1e-5)
+
+
 def test_spatial_sharded_train_step_matches_data_parallel():
     """2-D data x spatial mesh training step == 1-D data mesh step
     (XLA SPMD halo exchanges must not change the math)."""

@@ -212,8 +212,12 @@ def main(argv=None):
 
     step_fn = jit_train_step(cfg, mesh)
 
+    # Only process 0 owns the observability + checkpoint surface: in a
+    # multi-host run every process executes this loop in lockstep, and
+    # un-gated writers/saves would duplicate logs N times and race N
+    # writes of the same checkpoint file on shared storage.
     writer = None
-    if not args.no_tensorboard:
+    if not args.no_tensorboard and is_main_process:
         try:
             from torch.utils.tensorboard import SummaryWriter
             import datetime
@@ -273,7 +277,9 @@ def main(argv=None):
         stop_requested["flag"] = True
     prev_handler = signal.signal(signal.SIGINT, _on_sigint)
 
-    print("Begin training!\n")
+    if is_main_process:
+        print("Begin training!\n")
+    epoch = 0  # a pre-loop ctrl-C must still reach the interrupt handler
     try:
         for epoch in range(num_epochs):
             if (epoch + 1) * epoch_size < iteration:
@@ -318,7 +324,7 @@ def main(argv=None):
                     for k, v in last_losses.items():
                         writer.add_scalar(f"loss/{k}", v, iteration)
 
-                if iteration % 100 == 0:
+                if iteration % 100 == 0 and is_main_process:
                     eta = (cfg.max_iter - iteration) * time_avg.get_avg()
                     eta_str = str(int(eta // 3600)) + "h" + str(
                         int(eta % 3600 // 60)) + "m"
@@ -332,7 +338,8 @@ def main(argv=None):
                         and iteration > 0:
                     log_visual_example(cfg, state, writer, iteration)
 
-                if iteration % args.save_interval == 0 and iteration > 0:
+                if iteration % args.save_interval == 0 and iteration > 0 \
+                        and is_main_process:
                     if args.keep_latest and latest_saved is not None:
                         if args.keep_latest_interval <= 0 or \
                                 iteration % args.keep_latest_interval \
@@ -350,11 +357,11 @@ def main(argv=None):
                 break
 
             # Per-epoch validation (reference train.py:396-402).
-            if args.validation_epoch > 0 and \
+            if args.validation_epoch > 0 and is_main_process and \
                     (epoch + 1) % args.validation_epoch == 0:
                 compute_validation_metrics(cfg, state, args.validation_size)
     except KeyboardInterrupt:
-        if args.interrupt:
+        if args.interrupt and is_main_process:
             print("Stopping early. Saving network...")
             SavePath.remove_interrupt(args.save_folder)
             p = save_path(epoch, repr(iteration) + "_interrupt")
@@ -363,8 +370,9 @@ def main(argv=None):
         return
 
     signal.signal(signal.SIGINT, prev_handler)
-    save_train_state(save_path(epoch, iteration), state)
-    print("Training complete.")
+    if is_main_process:
+        save_train_state(save_path(epoch, iteration), state)
+        print("Training complete.")
 
 
 if __name__ == "__main__":
