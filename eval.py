@@ -34,11 +34,24 @@ def parse_args(argv=None):
     parser.add_argument("--dataset", default=None, type=str)
     parser.add_argument("--max_images", default=-1, type=int)
     parser.add_argument("--no_bar", action="store_true")
+    parser.add_argument("--batch_size", default=1, type=int,
+                        help="Images per fused-pipeline call (tail padded). "
+                             "Metrics are identical at any batch size; "
+                             "batch > 1 cuts validation wall time.")
     parser.add_argument("--top_k", default=100, type=int)
     parser.add_argument("--nms_mode", default="matrix", type=str,
                         choices=["matrix", "mask"])
     parser.add_argument("--score_threshold", default=0.1, type=float)
     parser.add_argument("--seed", default=None, type=int)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16", "auto"],
+                        help="Compute dtype for the evaluated model. Defaults "
+                             "to float32 so official parity metrics match the "
+                             "reference's f32 numbers exactly; pass "
+                             "auto/bfloat16 to measure the serving "
+                             "configuration (drift bounded by "
+                             "tests/test_bf16.py but can marginally move AP "
+                             "at the strict IoU thresholds).")
     parser.add_argument("--autopsy", action="store_true",
                         help="Also write predicted seg/depth image panels "
                              "to TensorBoard (reference eval.py:419-426).")
@@ -80,9 +93,16 @@ def tensorboard_visual_log(net, dataset, writer, iteration, eval_nums):
 
 
 def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
-             eval_nums=-1, no_bar=False):
+             eval_nums=-1, no_bar=False, batch_size=1):
     """Main eval loop (reference eval.py:63-130). Returns (all_maps, depth
-    metric means)."""
+    metric means).
+
+    ``batch_size > 1`` feeds the fused jitted pipeline whole batches (tail
+    padded by repeating the last image, padded results discarded) while
+    keeping the per-image metric bookkeeping on host — the reference's loop
+    is strictly batch-1 (reference eval.py:63-130) and leaves the chip
+    mostly idle during the per-epoch 2,000-image validation.
+    """
     frame_times = MovingAverage()
     eval_nums = len(dataset) - 1 if eval_nums < 0 else min(eval_nums,
                                                            len(dataset))
@@ -96,49 +116,60 @@ def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
     infos = []
     ap_data = make_ap_data()
     clipped_images = 0
+    it = -1
 
-    for it, image_idx in enumerate(dataset_indices):
+    for lo in range(0, len(dataset_indices), batch_size):
+        chunk = dataset_indices[lo:lo + batch_size]
         timer.reset()
         with timer.env("everything"):
-            image, gt_instances, gt_depth = dataset.pull_item(image_idx)
+            items = [dataset.pull_item(i) for i in chunk]
+            images = np.stack([im for im, _, _ in items])
+            if len(items) < batch_size:   # pad the tail batch (discarded)
+                reps = np.repeat(images[-1:], batch_size - len(items), axis=0)
+                images = np.concatenate([images, reps], axis=0)
             # BaseTransform already normalised the image; the runner's fused
             # jitted pipeline (forward + point-NMS + post-process as ONE XLA
             # program per shape) replaces op-by-op dispatch here
             # (VERDICT r1 weak item 3; reference eval.py:63-130).
             import jax
 
-            h, w = image.shape[:2]
-            batched = net.infer_normalized(image[None], (h, w))
+            h, w = images.shape[1:3]
+            batched = net.infer_normalized(images, (h, w))
             jax.block_until_ready(batched)
 
-        valid = np.asarray(batched["pred_valid"][0])
         clipped_images += int(np.asarray(
             batched.get("candidates_clipped", np.zeros(1))).reshape(-1)[0])
-        pred_depth = np.asarray(batched["pred_depth"][0])
-        depth_err = compute_depth_metrics(
-            pred_depth, gt_depth[..., 0], net.cfg, median_scaling=True)
-        infos.append(depth_err)
+        batch_ms = timer.total_time() * 1000 / max(len(chunk), 1)
 
-        if valid.any():
-            pred_masks = np.asarray(batched["pred_masks"][0])[valid]
-            pred_boxes = np.asarray(batched["pred_boxes"][0])[valid]
-            pred_classes = np.asarray(batched["pred_classes"][0])[valid]
-            pred_scores = np.asarray(batched["pred_scores"][0])[valid]
-            compute_segmentation_metrics(
-                ap_data, gt_instances["masks"], gt_instances["boxes"],
-                gt_instances["classes"], pred_masks, pred_boxes,
-                pred_classes, pred_scores)
+        for j, (_, gt_instances, gt_depth) in enumerate(items):
+            it += 1
+            valid = np.asarray(batched["pred_valid"][j])
+            pred_depth = np.asarray(batched["pred_depth"][j])
+            depth_err = compute_depth_metrics(
+                pred_depth, gt_depth[..., 0], net.cfg, median_scaling=True)
+            infos.append(depth_err)
 
-        if it > 1:
-            frame_times.add(timer.total_time() * 1000)
-        if not no_bar:
-            fps = 1000 / frame_times.get_avg() if it > 1 and len(
-                frame_times) else 0
-            progress = (it + 1) / max(eval_nums, 1) * 100
-            progress_bar.set_val(it + 1)
-            print("\rProcessing Images  %s %6d / %6d (%5.2f%%)  %5.2f fps  "
-                  % (repr(progress_bar), it + 1, eval_nums, progress, fps),
-                  end="")
+            if valid.any():
+                pred_masks = np.asarray(batched["pred_masks"][j])[valid]
+                pred_boxes = np.asarray(batched["pred_boxes"][j])[valid]
+                pred_classes = np.asarray(batched["pred_classes"][j])[valid]
+                pred_scores = np.asarray(batched["pred_scores"][j])[valid]
+                compute_segmentation_metrics(
+                    ap_data, gt_instances["masks"], gt_instances["boxes"],
+                    gt_instances["classes"], pred_masks, pred_boxes,
+                    pred_classes, pred_scores)
+
+            if it > 1:
+                frame_times.add(batch_ms)
+            if not no_bar:
+                fps = 1000 / frame_times.get_avg() if it > 1 and len(
+                    frame_times) else 0
+                progress = (it + 1) / max(eval_nums, 1) * 100
+                progress_bar.set_val(it + 1)
+                print("\rProcessing Images  %s %6d / %6d (%5.2f%%)  "
+                      "%5.2f fps  "
+                      % (repr(progress_bar), it + 1, eval_nums, progress,
+                         fps), end="")
 
     if clipped_images:
         print(f"\nWARNING: candidate capacity saturated on {clipped_images} "
@@ -173,6 +204,7 @@ def main(argv=None):
     if args.dataset is not None:
         cfg = set_dataset(cfg, args.dataset)
 
+    cfg = cfg.copy(dict(compute_dtype=args.dtype))
     cfg = cfg.copy(dict(solov2=cfg.solov2.copy(dict(
         nms_type=args.nms_mode,
         score_thr=args.score_threshold,
@@ -187,7 +219,8 @@ def main(argv=None):
         net.load_weights(args.trained_model)
     print("done.")
 
-    evaluate(net, dataset, eval_nums=args.max_images, no_bar=args.no_bar)
+    evaluate(net, dataset, eval_nums=args.max_images, no_bar=args.no_bar,
+             batch_size=args.batch_size)
 
     if args.autopsy:
         import datetime

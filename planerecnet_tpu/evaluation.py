@@ -102,31 +102,34 @@ class APDataObject:
         return len(self.data_points) == 0 and self.num_gt_positives == 0
 
     def get_ap(self) -> float:
+        """COCO 101-point interpolated AP, fully vectorised.
+
+        Semantics pinned to the reference's accumulator loop
+        (reference eval.py:275-325): detections sorted by descending score,
+        running precision/recall, precision envelope right-to-left, then the
+        mean of the envelope sampled at recalls 0.00:0.01:1.00 (samples past
+        the last data point contribute 0).
+        """
         if self.num_gt_positives == 0:
             return 0
-        self.data_points.sort(key=lambda x: -x[0])
-        precisions, recalls = [], []
-        num_true = num_false = 0
-        for score, is_true in self.data_points:
-            if is_true:
-                num_true += 1
-            else:
-                num_false += 1
-            precisions.append(num_true / (num_true + num_false))
-            recalls.append(num_true / self.num_gt_positives)
+        if not self.data_points:
+            return 0
+        pts = np.asarray(self.data_points, dtype=np.float64)
+        order = np.argsort(-pts[:, 0], kind="stable")
+        hits = pts[order, 1]
 
-        for i in range(len(precisions) - 1, 0, -1):
-            if precisions[i] > precisions[i - 1]:
-                precisions[i - 1] = precisions[i]
+        tp = np.cumsum(hits)
+        precisions = tp / np.arange(1, hits.size + 1)
+        recalls = tp / self.num_gt_positives
 
-        y_range = [0] * 101
-        x_range = np.array([x / 100 for x in range(101)])
-        recalls = np.array(recalls)
-        indices = np.searchsorted(recalls, x_range, side="left")
-        for bar_idx, precision_idx in enumerate(indices):
-            if precision_idx < len(precisions):
-                y_range[bar_idx] = precisions[precision_idx]
-        return sum(y_range) / len(y_range)
+        # Monotone precision envelope (suffix running max).
+        envelope = np.maximum.accumulate(precisions[::-1])[::-1]
+
+        sample_recalls = np.linspace(0.0, 1.0, 101)
+        idx = np.searchsorted(recalls, sample_recalls, side="left")
+        sampled = np.where(idx < envelope.size,
+                           envelope[np.minimum(idx, envelope.size - 1)], 0.0)
+        return float(sampled.mean())
 
 
 def make_ap_data() -> Dict[str, List[APDataObject]]:

@@ -18,30 +18,33 @@ CKPT_EXT = ".npz"
 
 
 class MovingAverage:
-    """Windowed mean that drops non-finite values
-    (reference utils/utils.py:12-51)."""
+    """Windowed mean over the last ``max_window_size`` finite samples.
+
+    Same console-smoothing role as the reference's loss averager
+    (reference utils/utils.py:12-51): non-finite samples are ignored with a
+    warning. The mean is computed lazily with ``math.fsum`` over the bounded
+    window (called once per log line), which avoids the drift a running
+    add/subtract sum accumulates over a 125k-iteration run.
+    """
 
     def __init__(self, max_window_size: int = 1000):
-        self.max_window_size = max_window_size
-        self.reset()
+        self._window: deque = deque(maxlen=max_window_size)
 
     def add(self, elem: float):
-        if not math.isfinite(elem):
-            print("Warning: Moving average ignored a value of %f" % elem)
-            return
-        self.window.append(elem)
-        self.sum += elem
-        if len(self.window) > self.max_window_size:
-            self.sum -= self.window.popleft()
+        if math.isfinite(elem):
+            self._window.append(float(elem))
+        else:
+            print(f"Warning: Moving average ignored a value of {elem}")
 
     append = add
 
     def reset(self):
-        self.window = deque()
-        self.sum = 0.0
+        self._window.clear()
 
     def get_avg(self) -> float:
-        return self.sum / max(len(self.window), 1)
+        if not self._window:
+            return 0.0
+        return math.fsum(self._window) / len(self._window)
 
     def __str__(self):
         return str(self.get_avg())
@@ -50,37 +53,29 @@ class MovingAverage:
         return repr(self.get_avg())
 
     def __len__(self):
-        return len(self.window)
+        return len(self._window)
 
 
 class ProgressBar:
-    """Simple string progress bar (reference utils/utils.py:54-89)."""
+    """Console progress bar string, rendered on demand
+    (same console role as reference utils/utils.py:54-89)."""
 
     def __init__(self, length: int, max_val: int):
-        self.max_val = max_val
+        self.max_val = max(max_val, 1)
         self.length = length
         self.cur_val = 0
-        self.cur_num_bars = -1
-        self._update_str()
 
     def set_val(self, new_val: int):
         self.cur_val = min(max(new_val, 0), self.max_val)
-        self._update_str()
 
     def is_finished(self) -> bool:
         return self.cur_val == self.max_val
 
-    def _update_str(self):
-        num_bars = int(self.length * (self.cur_val / self.max_val))
-        if num_bars != self.cur_num_bars:
-            self.cur_num_bars = num_bars
-            self.string = "█" * num_bars + "░" * (self.length - num_bars)
-
     def __repr__(self):
-        return self.string
+        filled = self.length * self.cur_val // self.max_val
+        return "█" * filled + "░" * (self.length - filled)
 
-    def __str__(self):
-        return self.string
+    __str__ = __repr__
 
 
 def init_console():
