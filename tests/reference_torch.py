@@ -127,3 +127,41 @@ def load_reference():
         sys.path.insert(0, REFERENCE_ROOT)
     import data.config as ref_config  # noqa: PLC0415
     return ref_config
+
+
+def seeded_prn50_net(seed: int = 0):
+    """Deterministic reference PlaneRecNet-50 with realistic weight and
+    BN-statistic distributions — the offline stand-in for the released
+    ``.pth`` (reference README.md:35-64) used by the bundled-asset golden.
+
+    Beyond ``torch.manual_seed`` init, the zero-initialised DCN
+    offset/modulator convs get real values (so fractional deformable
+    sampling is exercised) and every BatchNorm's running mean/var is
+    drawn from a non-trivial distribution (random init leaves them at
+    0/1, which would make BN a no-op and hide conversion bugs in the
+    running-stat remap).
+
+    Returns ``(net, ref_config)`` with the net in eval mode.
+    """
+    ref_config = load_reference()
+    ref_config.set_cfg("PlaneRecNet_50_config")
+    ref_config.cfg.device = "cpu"
+    from utils import timer as ref_timer  # noqa: PLC0415 (reference pkg)
+    ref_timer.disable_all()
+    import planerecnet as ref_prn  # noqa: PLC0415 (reference pkg)
+
+    torch.manual_seed(seed)
+    net = ref_prn.PlaneRecNet(ref_config.cfg)
+    gen = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        for name, p in net.named_parameters():
+            if "offset_conv" in name or "modulator_conv" in name:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=gen) * 0.5)
+                m.running_var.copy_(
+                    0.5 + torch.rand(m.running_var.shape, generator=gen) * 1.5)
+    net.eval()
+    return net, ref_config
