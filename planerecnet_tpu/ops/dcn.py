@@ -154,8 +154,8 @@ def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
     return jnp.sum(corners * ws[..., None].astype(corners.dtype), axis=2)
 
 
-def _forward_impl(x, offset, mask, weight, bias, stride, padding,
-                  kernel_size):
+def _forward_chunk(x, offset, mask, weight, bias, stride, padding,
+                   kernel_size):
     b, h, w, cin = x.shape
     k = kernel_size * kernel_size
     _, ho, wo, _ = offset.shape
@@ -174,6 +174,35 @@ def _forward_impl(x, offset, mask, weight, bias, stride, padding,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(b, ho, wo, -1)
+
+
+# Batched calls are processed ``DCN_BATCH_CHUNK`` images at a time through a
+# lax.scan: the per-corner gather working set then stays at its batch-1,
+# scoped-VMEM-resident size (1.1 ms/fusion) instead of the full-batch
+# bf16[B*Ho*Wo*K, C] form that spills to HBM (38.8 ms on one stride-8
+# fusion at batch 8 — PERF.md round 2). 0 disables chunking.
+DCN_BATCH_CHUNK = int(_os.environ.get("PRN_DCN_BATCH_CHUNK", "1"))
+
+
+def _forward_impl(x, offset, mask, weight, bias, stride, padding,
+                  kernel_size):
+    b = x.shape[0]
+    chunk = DCN_BATCH_CHUNK
+    if 0 < chunk < b and b % chunk == 0:
+        nb = b // chunk
+        xs = (x.reshape(nb, chunk, *x.shape[1:]),
+              offset.reshape(nb, chunk, *offset.shape[1:]),
+              mask.reshape(nb, chunk, *mask.shape[1:]))
+
+        def body(carry, args):
+            xc, oc, mc = args
+            return carry, _forward_chunk(xc, oc, mc, weight, bias, stride,
+                                         padding, kernel_size)
+
+        _, out = jax.lax.scan(body, None, xs)
+        return out.reshape(b, *out.shape[2:])
+    return _forward_chunk(x, offset, mask, weight, bias, stride, padding,
+                          kernel_size)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
