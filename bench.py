@@ -30,7 +30,11 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="PlaneRecNet_50_config")
-    parser.add_argument("--batch_size", default=1, type=int)
+    parser.add_argument("--batch_size", default=8, type=int,
+                        help="batch 8 is the serving sweet spot on TPU "
+                             "(7.5 ms/img vs 8.6 at batch 1 — PERF.md "
+                             "round 3); the reference harness is batch-1 "
+                             "only (planerecnet.py:610-677)")
     parser.add_argument("--iters", default=50, type=int)
     parser.add_argument("--warmup", default=5, type=int)
     parser.add_argument("--height", default=480, type=int)
@@ -50,6 +54,9 @@ def main():
     import jax
     from planerecnet_tpu.config import set_cfg
     from planerecnet_tpu.runner import PlaneRecNetRunner
+    from planerecnet_tpu.utils.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()
 
     cfg = set_cfg(args.config)
     if args.dtype:

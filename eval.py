@@ -185,6 +185,8 @@ def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
 
 def main(argv=None):
     parse_args(argv)
+    from planerecnet_tpu.utils.utils import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
     if args.seed is not None:
         random.seed(args.seed)
 

@@ -22,15 +22,19 @@ Backward
 Two interchangeable backward paths (both tested against each other):
 
 * **autodiff** (default): XLA differentiates the gather/matmul composition;
-  the input gradient lowers to an XLA scatter-add. Measured full PRN-101
-  train step (bs=8, 640x640, remat): **715 ms/iter** on one v5e chip.
+  the input gradient lowers to an XLA scatter-add. With the batched forward
+  chunked through ``lax.scan`` (``DCN_BATCH_CHUNK``) the backward is a
+  reverse scan whose per-chunk scatter working set stays VMEM-resident:
+  full PRN-101 train step (bs=8, 640x640, bf16, no remat) = **311.9
+  ms/iter** on one v5e chip (370.6 unchunked; PERF.md round 3).
 * **hand-written VJP** (``USE_CUSTOM_VJP = True``): gathers + matmuls for
   weight/offset/modulation gradients and a Pallas VMEM-resident scatter
-  kernel (``ops/pallas/dcn_scatter.py``) for the input gradient. The kernel
-  itself is fast, but the restructured backward materialises (B,R,4,C)
-  corner intermediates that XLA's fused autodiff avoids: 890 ms/iter — so
-  autodiff stays the default. The custom path is kept for further kernel
-  fusion work (the scatter kernel is the hard part and is done).
+  kernel (``ops/pallas/dcn_scatter.py``) for the input gradient, applied at
+  CHUNK granularity so the reverse scan keeps its corner transients small.
+  Measured 532.3 ms/iter (round 3; the round-2 full-batch form was 651.8)
+  vs autodiff's 311.9 — XLA's fused scatter-add beats the Pallas kernel
+  end-to-end, so autodiff stays the default. The custom path is kept as the
+  reference implementation of the analytic DCN backward.
 """
 
 from __future__ import annotations
@@ -186,6 +190,10 @@ DCN_BATCH_CHUNK = int(_os.environ.get("PRN_DCN_BATCH_CHUNK", "1"))
 
 def _forward_impl(x, offset, mask, weight, bias, stride, padding,
                   kernel_size):
+    # Per-chunk op: with USE_CUSTOM_VJP the chunk gets the hand-written
+    # backward (Pallas scatter input-grad) — applied at chunk granularity so
+    # the reverse scan keeps its corner transients chunk-sized.
+    fwd = _deform_conv2d_core if USE_CUSTOM_VJP else _forward_chunk
     b = x.shape[0]
     chunk = DCN_BATCH_CHUNK
     if 0 < chunk < b and b % chunk == 0:
@@ -196,25 +204,29 @@ def _forward_impl(x, offset, mask, weight, bias, stride, padding,
 
         def body(carry, args):
             xc, oc, mc = args
-            return carry, _forward_chunk(xc, oc, mc, weight, bias, stride,
-                                         padding, kernel_size)
+            return carry, fwd(xc, oc, mc, weight, bias, stride,
+                              padding, kernel_size)
 
         _, out = jax.lax.scan(body, None, xs)
         return out.reshape(b, *out.shape[2:])
-    return _forward_chunk(x, offset, mask, weight, bias, stride, padding,
-                          kernel_size)
+    return fwd(x, offset, mask, weight, bias, stride, padding, kernel_size)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _deform_conv2d_core(x, offset, mask, weight, bias, stride, padding,
                         kernel_size):
-    return _forward_impl(x, offset, mask, weight, bias, stride, padding,
-                         kernel_size)
+    # Primal = ONE chunk's forward: _forward_impl applies this per scan
+    # chunk, so the hand-written backward below also runs per-chunk inside
+    # the reverse scan — its (B_chunk, R, C) corner transients stay at the
+    # VMEM-resident chunk size (the round-2 full-batch form materialised
+    # ~3.8 GB corner tensors and lost to autodiff end-to-end; PERF.md).
+    return _forward_chunk(x, offset, mask, weight, bias, stride, padding,
+                          kernel_size)
 
 
 def _dcn_fwd(x, offset, mask, weight, bias, stride, padding, kernel_size):
-    out = _forward_impl(x, offset, mask, weight, bias, stride, padding,
-                        kernel_size)
+    out = _forward_chunk(x, offset, mask, weight, bias, stride, padding,
+                         kernel_size)
     return out, (x, offset, mask, weight, bias is not None)
 
 
@@ -328,9 +340,6 @@ def deform_conv2d(x: jnp.ndarray,
 
     Returns (B, Ho, Wo, Cout).
     """
-    if USE_CUSTOM_VJP:
-        return _deform_conv2d_core(x, offset, mask, weight, bias, stride,
-                                   padding, kernel_size)
     return _forward_impl(x, offset, mask, weight, bias, stride, padding,
                          kernel_size)
 

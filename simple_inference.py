@@ -287,6 +287,8 @@ def ibims1_pd(net, in_folder, out_folder):
 def main(argv=None):
     parse_args(argv)
     timer.disable_all()
+    from planerecnet_tpu.utils.utils import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
     cfg = set_cfg(args.config)
     cfg = cfg.copy(dict(solov2=cfg.solov2.copy(dict(
         nms_type=args.nms_mode,

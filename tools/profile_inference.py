@@ -50,6 +50,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from planerecnet_tpu.utils.utils import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
     from planerecnet_tpu.config import set_cfg
     from planerecnet_tpu.models.backbone import construct_backbone
     from planerecnet_tpu.ops.image import fast_base_transform

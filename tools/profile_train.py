@@ -105,6 +105,9 @@ def main():
 
     from planerecnet_tpu.config import set_cfg
     from planerecnet_tpu.trainer import create_train_state, jit_train_step
+    from planerecnet_tpu.utils.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()
 
     cfg = set_cfg(args.config).copy(dict(
         compute_dtype=args.dtype,

@@ -137,6 +137,9 @@ def main(argv=None):
         initialize_distributed()
     import jax
 
+    from planerecnet_tpu.utils.utils import enable_tpu_compile_cache
+    enable_tpu_compile_cache()
+
     cfg = set_cfg(args.config)
     if args.dataset is not None:
         cfg = set_dataset(cfg, args.dataset)
