@@ -114,6 +114,9 @@ def main():
     rng = np.random.RandomState(0)
 
     def fwd_at(hh):
+        # The multi-level mask fusion needs /32-divisible heights; round UP,
+        # so shard-compute estimates are conservative (over-)estimates.
+        hh = (hh + 31) // 32 * 32
         frame = jnp.asarray((rng.rand(1, hh, w, 3) * 255).astype(np.float32))
         f = jax.jit(lambda v, x: net.model.apply(
             v, x, train=False))
