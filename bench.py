@@ -106,7 +106,9 @@ def main():
             force(net.infer(device_frames[i % args.iters]))
         sync_ms = (time.perf_counter() - t0) / args.sync_iters * 1000
 
-    baseline = 19.1  # PRN-50 RTX 3090 FPS (reference README.md:35-37)
+    # RTX 3090 FPS baselines (reference README.md:35-38): 19.1 for PRN-50,
+    # 14.4 for PRN-101.
+    baseline = {"PlaneRecNet_101": 14.4}.get(cfg.name, 19.1)
     # Report the dtype that actually ran: "auto" resolves to bf16 for
     # inference on TPU (accuracy-gated, tests/test_bf16.py), f32 elsewhere.
     dtype = cfg.compute_dtype
@@ -115,7 +117,7 @@ def main():
                  else "auto:f32")
     out = {
         "metric": f"{args.height}x{args.width} images/sec/chip "
-                  f"(PRN-50 inference, batch={args.batch_size}, "
+                  f"({cfg.name} inference, batch={args.batch_size}, "
                   f"{dtype}, distinct frames)",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",

@@ -57,3 +57,15 @@ def test_set_dataset():
     cfg = set_dataset(PlaneRecNet_50_config, "nyu_eval")
     assert cfg.dataset.name == "NYUDataset"
     assert not cfg.dataset.has_pos
+
+
+def test_tpu_compile_cache_gated_off_on_cpu():
+    """enable_tpu_compile_cache must be a no-op off-TPU: reloading the
+    remote-compile service's CPU AOT artifacts SIGILLs this host, so the
+    helper gates on the backend actually being TPU (utils/utils.py)."""
+    import jax
+
+    from planerecnet_tpu.utils.utils import enable_tpu_compile_cache
+
+    assert not enable_tpu_compile_cache()
+    assert jax.config.jax_compilation_cache_dir is None
