@@ -40,6 +40,12 @@ class DeformableConv2d(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    # Corner-gather strategy ("rows" | "patch" | None = module default):
+    # train/eval-dependent — "patch" is ~10% faster end-to-end at inference
+    # but its backward is catastrophic, so the model passes
+    # default_gather_mode(train) down (ops/dcn.py, PERF.md round 3).
+    # Bit-exact either way.
+    gather_mode: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -78,7 +84,8 @@ class DeformableConv2d(nn.Module):
             weight = weight.astype(self.dtype)
         return deform_conv2d(x, offset, modulator, weight, bias,
                              stride=self.stride, padding=self.padding,
-                             kernel_size=self.kernel_size)
+                             kernel_size=self.kernel_size,
+                             gather_mode=self.gather_mode)
 
 
 class Bottleneck(nn.Module):
@@ -91,6 +98,7 @@ class Bottleneck(nn.Module):
     use_dcn: bool = False
     expansion: int = 4
     dtype: Optional[jnp.dtype] = None
+    gather_mode: Optional[str] = None  # DCN corner-gather strategy
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -106,6 +114,7 @@ class Bottleneck(nn.Module):
             out = DeformableConv2d(self.planes, kernel_size=3,
                                    stride=self.stride,
                                    padding=self.dilation, use_bias=True,
+                                   gather_mode=self.gather_mode,
                                    dtype=self.dtype, name="conv2")(out)
         else:
             out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
@@ -181,6 +190,7 @@ class ResNetBackbone(nn.Module):
     extra_layers: int = 0
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    dcn_gather_mode: Optional[str] = None  # forwarded to every DCN block
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -216,11 +226,14 @@ class ResNetBackbone(nn.Module):
                     has_ds = stride != 1 or inplanes != planes * 4
                     x = block_cls(planes, stride=stride, has_downsample=has_ds,
                                   dilation=dilation,
-                                  use_dcn=dcn_flags[i], dtype=self.dtype,
+                                  use_dcn=dcn_flags[i],
+                                  gather_mode=self.dcn_gather_mode,
+                                  dtype=self.dtype,
                                   name=f"layer{s}_{i}")(x, train)
                     inplanes = planes * 4
                 else:
                     x = block_cls(planes, use_dcn=dcn_flags[i],
+                                  gather_mode=self.dcn_gather_mode,
                                   dtype=self.dtype,
                                   name=f"layer{s}_{i}")(x, train)
             outs.append(x)
@@ -234,7 +247,9 @@ class ResNetBackbone(nn.Module):
 
 
 def construct_backbone(cfg: BackboneConfig, dtype=None,
-                       remat: bool = False) -> ResNetBackbone:
+                       remat: bool = False,
+                       dcn_gather_mode: Optional[str] = None
+                       ) -> ResNetBackbone:
     """Build a backbone from a config (reference backbone.py:233-243)."""
     num_layers = max(cfg.selected_layers) + 1
     extra = max(0, num_layers - len(cfg.layers))
@@ -244,4 +259,5 @@ def construct_backbone(cfg: BackboneConfig, dtype=None,
                           atrous_layers=tuple(cfg.atrous_layers),
                           extra_layers=extra,
                           dtype=dtype,
-                          remat=remat)
+                          remat=remat,
+                          dcn_gather_mode=dcn_gather_mode)

@@ -37,6 +37,9 @@ class SOLOv2InsHead(nn.Module):
     num_classes: int
     in_channels: int
     dtype: Optional[jnp.dtype] = None
+    # Corner-gather strategy for the optional deformable towers; the model
+    # passes default_gather_mode(train) (see models/backbone.py).
+    dcn_gather_mode: Optional[str] = None
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -60,6 +63,7 @@ class SOLOv2InsHead(nn.Module):
 
             def make_conv(name):
                 return DeformableConv2d(c.instance_channels, use_bias=False,
+                                        gather_mode=self.dcn_gather_mode,
                                         dtype=self.dtype, name=name)
         else:
             def make_conv(name):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from planerecnet_tpu.config import PlaneRecNetConfig
 from planerecnet_tpu.models.backbone import construct_backbone
+from planerecnet_tpu.ops.dcn import default_gather_mode
 from planerecnet_tpu.models.depth_decoder import DepthDecoderFPN
 from planerecnet_tpu.models.fpn import build_fpn
 from planerecnet_tpu.models.heads import SOLOv2InsHead, SOLOv2MaskHead
@@ -56,8 +57,13 @@ class PlaneRecNet(nn.Module):
                   else "float32")
         dtype = (jnp.bfloat16 if cd == "bfloat16" else None)
 
+        # DCN corner-gather strategy: "patch" for inference (~10% faster
+        # end-to-end), "rows" when gradients will flow — keyed on the REAL
+        # train flag, not bn_train (freeze_bn still trains weights).
+        gm = default_gather_mode(train)
         backbone = construct_backbone(cfg.backbone, dtype=dtype,
-                              remat=cfg.remat_backbone)
+                              remat=cfg.remat_backbone,
+                              dcn_gather_mode=gm)
         feats_enc = backbone.copy(name="backbone")(x, train=bn_train)
 
         fpn_inputs = [feats_enc[i] for i in cfg.fpn.selected_layers]
@@ -75,6 +81,7 @@ class PlaneRecNet(nn.Module):
         cate_preds, kernel_preds = SOLOv2InsHead(
             cfg.solov2, num_classes=cfg.num_classes,
             in_channels=cfg.fpn.num_features, dtype=dtype,
+            dcn_gather_mode=gm,
             name="inst_head")(ins_feats)
 
         # Mask branch.

@@ -136,20 +136,34 @@ def _gather_patches(x: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray
 
 # Corner-sampling strategy for the forward: "rows" = 4 separate row
 # gathers from the flattened (B, H*W, C) map; "patch" = one 2x2xC patch
-# gather (corners are memory-adjacent). Module-level because flax modules
-# call deform_conv2d without a config handle; read at trace time.
+# gather (corners are memory-adjacent). Both are bit-exact
+# (tests/test_dcn.py); they differ only in speed:
+#   * inference: patch wins (batch-8 PRN-50 pipeline 145.1 vs 132.1 img/s,
+#     PERF.md round 3);
+#   * training: patch's autodiff backward lowers to a catastrophic 2x2-slice
+#     scatter (6632 ms/iter vs rows' 311.9) — rows only.
+# ``default_gather_mode(train)`` encodes that policy; PRN_CORNER_GATHER
+# overrides it for experiments. Read at trace time.
 import os as _os
 
 CORNER_GATHER = _os.environ.get("PRN_CORNER_GATHER", "rows")
 
 
+def default_gather_mode(train: bool) -> str:
+    env = _os.environ.get("PRN_CORNER_GATHER")
+    if env:
+        return env
+    return "rows" if train else "patch"
+
+
 def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
-                     sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
+                     sy: jnp.ndarray, sx: jnp.ndarray,
+                     gather_mode: Optional[str] = None) -> jnp.ndarray:
     """Bilinearly sample ``x_flat``: (B, H*W, C) at float positions with
     zero out-of-bounds semantics (torchvision deform_conv2d convention).
     Returns (B, R, C)."""
     y0, x0, ws, ids, _ = _corner_data(sy, sx, h, w)
-    if CORNER_GATHER == "patch":
+    if (gather_mode or CORNER_GATHER) == "patch":
         b = x_flat.shape[0]
         corners = _gather_patches(
             x_flat.reshape(b, h, w, -1), y0, x0)      # (B, R, 4, C)
@@ -159,14 +173,14 @@ def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
 
 
 def _forward_chunk(x, offset, mask, weight, bias, stride, padding,
-                   kernel_size):
+                   kernel_size, gather_mode=None):
     b, h, w, cin = x.shape
     k = kernel_size * kernel_size
     _, ho, wo, _ = offset.shape
     sy, sx = _sampling_positions(b, h, w, ho, wo, kernel_size, stride,
                                  padding, offset)
     x_flat = x.reshape(b, h * w, cin)
-    sampled = _bilinear_gather(x_flat, h, w, sy, sx)
+    sampled = _bilinear_gather(x_flat, h, w, sy, sx, gather_mode)
     sampled = sampled.reshape(b, ho * wo, k, cin)
     sampled = sampled * mask.reshape(b, ho * wo, k, 1).astype(sampled.dtype)
 
@@ -189,11 +203,14 @@ DCN_BATCH_CHUNK = int(_os.environ.get("PRN_DCN_BATCH_CHUNK", "1"))
 
 
 def _forward_impl(x, offset, mask, weight, bias, stride, padding,
-                  kernel_size):
+                  kernel_size, gather_mode=None):
     # Per-chunk op: with USE_CUSTOM_VJP the chunk gets the hand-written
     # backward (Pallas scatter input-grad) — applied at chunk granularity so
-    # the reverse scan keeps its corner transients chunk-sized.
-    fwd = _deform_conv2d_core if USE_CUSTOM_VJP else _forward_chunk
+    # the reverse scan keeps its corner transients chunk-sized. The custom
+    # core always samples in "rows" mode (it is a training path; patch's
+    # value is inference-only).
+    fwd = (_deform_conv2d_core if USE_CUSTOM_VJP
+           else functools.partial(_forward_chunk, gather_mode=gather_mode))
     b = x.shape[0]
     chunk = DCN_BATCH_CHUNK
     if 0 < chunk < b and b % chunk == 0:
@@ -317,7 +334,7 @@ _deform_conv2d_core.defvjp(_dcn_fwd, _dcn_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "padding",
-                                             "kernel_size"))
+                                             "kernel_size", "gather_mode"))
 def deform_conv2d(x: jnp.ndarray,
                   offset: jnp.ndarray,
                   mask: jnp.ndarray,
@@ -326,7 +343,8 @@ def deform_conv2d(x: jnp.ndarray,
                   *,
                   stride: int = 1,
                   padding: int = 1,
-                  kernel_size: int = 3) -> jnp.ndarray:
+                  kernel_size: int = 3,
+                  gather_mode: Optional[str] = None) -> jnp.ndarray:
     """Modulated deformable convolution, NHWC.
 
     Args:
@@ -338,10 +356,14 @@ def deform_conv2d(x: jnp.ndarray,
       weight: (kh, kw, Cin, Cout) conv weights (HWIO).
       bias:   (Cout,) or None.
 
+      gather_mode: "rows" | "patch" | None (None = module default;
+              see ``default_gather_mode`` — patch is the inference choice,
+              rows the training one).
+
     Returns (B, Ho, Wo, Cout).
     """
     return _forward_impl(x, offset, mask, weight, bias, stride, padding,
-                         kernel_size)
+                         kernel_size, gather_mode)
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "padding",
