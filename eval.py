@@ -38,6 +38,11 @@ def parse_args(argv=None):
                         help="Images per fused-pipeline call (tail padded). "
                              "Metrics are identical at any batch size; "
                              "batch > 1 cuts validation wall time.")
+    parser.add_argument("--host_metrics", action="store_true",
+                        help="Compute the pred-vs-GT mask IoU on host from "
+                             "full readback masks instead of on device "
+                             "(bit-identical; ~25x more host<->device "
+                             "traffic — debugging aid).")
     parser.add_argument("--top_k", default=100, type=int)
     parser.add_argument("--nms_mode", default="matrix", type=str,
                         choices=["matrix", "mask"])
@@ -93,7 +98,7 @@ def tensorboard_visual_log(net, dataset, writer, iteration, eval_nums):
 
 
 def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
-             eval_nums=-1, no_bar=False, batch_size=1):
+             eval_nums=-1, no_bar=False, batch_size=1, device_metrics=True):
     """Main eval loop (reference eval.py:63-130). Returns (all_maps, depth
     metric means).
 
@@ -102,6 +107,13 @@ def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
     keeping the per-image metric bookkeeping on host — the reference's loop
     is strictly batch-1 (reference eval.py:63-130) and leaves the chip
     mostly idle during the per-epoch 2,000-image validation.
+
+    ``device_metrics`` computes the pred-vs-GT mask-IoU matrix ON DEVICE
+    (bit-exact — binary masks accumulate exact integers in f32) so the full
+    binarised masks (~30 MB/image) never cross the host boundary; the eval
+    loop on a remote-attached accelerator is transfer-bound, not
+    compute-bound (PERF.md round 3). Falls back to host IoU per batch when
+    an image exceeds ``cfg.max_instances`` GT planes.
     """
     frame_times = MovingAverage()
     eval_nums = len(dataset) - 1 if eval_nums < 0 else min(eval_nums,
@@ -134,7 +146,20 @@ def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
             import jax
 
             h, w = images.shape[1:3]
-            batched = net.infer_normalized(images, (h, w))
+            n_cap = net.cfg.max_instances
+            gts = [gt for _, gt, _ in items]
+            use_dev = device_metrics and all(
+                len(g["classes"]) <= n_cap for g in gts)
+            if use_dev:
+                gt_pad = np.zeros((images.shape[0], n_cap, h, w), np.float32)
+                for j, g in enumerate(gts):
+                    m = np.asarray(g["masks"], np.float32)
+                    if m.size:
+                        gt_pad[j, :m.shape[0]] = m.reshape(-1, h, w)
+                batched = net.infer_normalized_with_gt_iou(
+                    images, gt_pad, (h, w))
+            else:
+                batched = net.infer_normalized(images, (h, w))
             jax.block_until_ready(batched)
 
         clipped_images += int(np.asarray(
@@ -150,14 +175,24 @@ def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
             infos.append(depth_err)
 
             if valid.any():
-                pred_masks = np.asarray(batched["pred_masks"][j])[valid]
                 pred_boxes = np.asarray(batched["pred_boxes"][j])[valid]
                 pred_classes = np.asarray(batched["pred_classes"][j])[valid]
                 pred_scores = np.asarray(batched["pred_scores"][j])[valid]
-                compute_segmentation_metrics(
-                    ap_data, gt_instances["masks"], gt_instances["boxes"],
-                    gt_instances["classes"], pred_masks, pred_boxes,
-                    pred_classes, pred_scores)
+                if use_dev:
+                    n_gt = len(gt_instances["classes"])
+                    iou_cache = np.asarray(
+                        batched["gt_mask_iou"][j])[valid][:, :n_gt]
+                    compute_segmentation_metrics(
+                        ap_data, None, gt_instances["boxes"],
+                        gt_instances["classes"], None, pred_boxes,
+                        pred_classes, pred_scores,
+                        mask_iou_cache=iou_cache)
+                else:
+                    pred_masks = np.asarray(batched["pred_masks"][j])[valid]
+                    compute_segmentation_metrics(
+                        ap_data, gt_instances["masks"], gt_instances["boxes"],
+                        gt_instances["classes"], pred_masks, pred_boxes,
+                        pred_classes, pred_scores)
 
             if it > 1:
                 frame_times.add(batch_ms)
@@ -222,7 +257,8 @@ def main(argv=None):
     print("done.")
 
     evaluate(net, dataset, eval_nums=args.max_images, no_bar=args.no_bar,
-             batch_size=args.batch_size)
+             batch_size=args.batch_size,
+             device_metrics=not args.host_metrics)
 
     if args.autopsy:
         import datetime

@@ -139,16 +139,23 @@ def make_ap_data() -> Dict[str, List[APDataObject]]:
 
 def compute_segmentation_metrics(ap_data, gt_masks, gt_boxes, gt_classes,
                                  pred_masks, pred_boxes, pred_classes,
-                                 pred_scores):
+                                 pred_scores, mask_iou_cache=None):
     """Greedy IoU matching into the AP accumulators
-    (reference eval.py:210-252, quirks preserved — see module docstring)."""
+    (reference eval.py:210-252, quirks preserved — see module docstring).
+
+    ``mask_iou_cache`` may be precomputed on device (bit-exact — binary
+    masks accumulate exact integers in f32; runner.py
+    ``infer_normalized_with_gt_iou``), in which case ``pred_masks`` /
+    ``gt_masks`` may be None.
+    """
     num_pred = len(pred_classes)
     num_gt = len(gt_classes)
     if num_pred == 0 and num_gt == 0:
         return
 
-    mask_iou_cache = mask_iou(pred_masks, gt_masks) if num_pred and num_gt \
-        else np.zeros((num_pred, num_gt))
+    if mask_iou_cache is None:
+        mask_iou_cache = mask_iou(pred_masks, gt_masks) \
+            if num_pred and num_gt else np.zeros((num_pred, num_gt))
     bbox_iou_cache = bbox_iou(np.asarray(pred_boxes, np.float64),
                               np.asarray(gt_boxes, np.float64)) \
         if num_pred and num_gt else np.zeros((num_pred, num_gt))

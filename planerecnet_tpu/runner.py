@@ -134,6 +134,60 @@ class PlaneRecNetRunner:
         run = self._pipeline_normalized(tuple(images.shape), ori)
         return run(self.variables, images)
 
+    def _pipeline_normalized_iou(self, shape: Tuple[int, ...],
+                                 ori_size: Tuple[int, int], n_gt: int):
+        """Eval-metrics pipeline: forward + post-process + ON-DEVICE
+        pred-vs-GT mask-IoU matrix, returning everything EXCEPT the full
+        masks. Cuts host readback per image from ~30 MB of binarised masks
+        to a (top_k, n_gt) IoU matrix — the eval loop was transfer-bound,
+        not compute-bound (PERF.md round 3; reference loop: eval.py:63-130).
+
+        Bit-exactness: masks are binary, so the f32 matmul accumulates exact
+        integers (< 2^24) and the IoU division matches the host numpy
+        formula (evaluation.py::mask_iou) bit-for-bit.
+        """
+        key = ("normalized_iou", shape, ori_size, n_gt)
+        if key not in self._jitted:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(variables, x, gt_masks):
+                preds = self.model.apply(variables, x, train=False)
+                out = postprocess_batch(preds, cfg, ori_size)
+                b = x.shape[0]
+                pm = out["pred_masks"].astype(jnp.float32).reshape(
+                    b, out["pred_masks"].shape[1], -1)
+                gm = gt_masks.astype(jnp.float32).reshape(b, n_gt, -1)
+                inter = jnp.einsum("bkp,bnp->bkn", pm, gm,
+                                   preferred_element_type=jnp.float32)
+                area_p = jnp.sum(pm, axis=-1)
+                area_g = jnp.sum(gm, axis=-1)
+                union = area_p[..., None] + area_g[:, None, :] - inter
+                iou = jnp.where(union > 0,
+                                inter / jnp.maximum(union, 1e-12), 0.0)
+                out = {k: v for k, v in out.items() if k != "pred_masks"}
+                out["gt_mask_iou"] = iou
+                return out
+
+            self._jitted[key] = run
+        return self._jitted[key]
+
+    def infer_normalized_with_gt_iou(self, images: jnp.ndarray,
+                                     gt_masks: jnp.ndarray,
+                                     ori_size: Optional[Tuple[int, int]] = None
+                                     ) -> Dict:
+        """Fused-jit eval inference on normalised (B, H, W, 3) images with
+        padded GT masks (B, N, H, W); returns post-processed outputs minus
+        ``pred_masks`` plus ``gt_mask_iou`` (B, top_k, N)."""
+        if not isinstance(images, jax.Array):
+            images = jnp.asarray(np.asarray(images, np.float32))
+        gt_masks = jnp.asarray(np.asarray(gt_masks, np.float32))
+        b, h, w, _ = images.shape
+        ori = ori_size or (h, w)
+        run = self._pipeline_normalized_iou(tuple(images.shape), ori,
+                                            gt_masks.shape[1])
+        return run(self.variables, images, gt_masks)
+
     def forward_raw(self, images_normalized: jnp.ndarray) -> Dict:
         """Raw prediction pytree on already-normalised input (training
         branch surface, reference planerecnet.py:101-103)."""

@@ -318,3 +318,34 @@ def test_pth_golden_on_bundled_asset(tmp_path, monkeypatch):
     ])
     assert os.path.exists(out_path)
     assert os.path.exists(str(tmp_path / "out_dep.png"))
+
+
+def test_evaluate_device_metrics_match_host(tmp_path):
+    """The on-device pred-vs-GT mask-IoU path (device_metrics=True, the
+    default) must reproduce the host readback path bit-for-bit: binary
+    masks accumulate exact integers in f32, so the IoU matrices — and
+    therefore every AP data point — are identical (runner.py
+    ``infer_normalized_with_gt_iou``)."""
+    import random
+
+    import eval as eval_script
+    from planerecnet_tpu.data import BaseTransform, build_dataset
+    from planerecnet_tpu.runner import PlaneRecNetRunner
+
+    cfg = _train_cfg(tmp_path)
+    cfg = cfg.copy(dict(solov2=cfg.solov2.copy(dict(
+        score_thr=0.01, update_thr=0.01))))
+    ds = build_dataset(cfg, "train", transform=BaseTransform(cfg))
+    net = PlaneRecNetRunner(cfg)
+
+    random.seed(7)
+    maps_host, depth_host = eval_script.evaluate(
+        net, ds, eval_nums=3, no_bar=True, batch_size=2,
+        device_metrics=False)
+    random.seed(7)
+    maps_dev, depth_dev = eval_script.evaluate(
+        net, ds, eval_nums=3, no_bar=True, batch_size=2,
+        device_metrics=True)
+    np.testing.assert_array_equal(np.asarray(depth_host),
+                                  np.asarray(depth_dev))
+    assert maps_host == maps_dev
