@@ -237,3 +237,16 @@ def test_patch_gather_mode_bit_exact():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
     for a, c in zip(gref, gnew):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_default_gather_mode_policy(monkeypatch):
+    """Training must NEVER default to the patch gather (its autodiff
+    backward is catastrophic — PERF.md round 3); inference defaults to it
+    (+10% end-to-end). PRN_CORNER_GATHER overrides both."""
+    import planerecnet_tpu.ops.dcn as dcn
+
+    monkeypatch.delenv("PRN_CORNER_GATHER", raising=False)
+    assert dcn.default_gather_mode(train=True) == "rows"
+    assert dcn.default_gather_mode(train=False) == "patch"
+    monkeypatch.setenv("PRN_CORNER_GATHER", "rows")
+    assert dcn.default_gather_mode(train=False) == "rows"
