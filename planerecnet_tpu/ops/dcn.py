@@ -201,6 +201,12 @@ def _forward_chunk(x, offset, mask, weight, bias, stride, padding,
 # fusion at batch 8 — PERF.md round 2). 0 disables chunking.
 DCN_BATCH_CHUNK = int(_os.environ.get("PRN_DCN_BATCH_CHUNK", "1"))
 
+# lax.scan unroll factor for the chunk loop: unroll>1 inlines several
+# chunks per loop iteration so XLA can interleave one chunk's gathers with
+# another's matmuls WITHOUT merging them into a single (spilling) gather
+# the way chunk=2 does. Measured (PERF.md round 3): no win — kept at 1.
+DCN_SCAN_UNROLL = int(_os.environ.get("PRN_DCN_SCAN_UNROLL", "1"))
+
 
 def _forward_impl(x, offset, mask, weight, bias, stride, padding,
                   kernel_size, gather_mode=None):
@@ -224,7 +230,7 @@ def _forward_impl(x, offset, mask, weight, bias, stride, padding,
             return carry, fwd(xc, oc, mc, weight, bias, stride,
                               padding, kernel_size)
 
-        _, out = jax.lax.scan(body, None, xs)
+        _, out = jax.lax.scan(body, None, xs, unroll=DCN_SCAN_UNROLL)
         return out.reshape(b, *out.shape[2:])
     return fwd(x, offset, mask, weight, bias, stride, padding, kernel_size)
 

@@ -95,6 +95,9 @@ def main():
     p.add_argument("--dcn_vjp", action="store_true",
                    help="use the hand-written DCN VJP (Pallas scatter "
                         "input-grad) instead of XLA autodiff")
+    p.add_argument("--fused_loss", default=None, choices=[None, "on", "off"],
+                   help="override cfg.fused_loss_kernel (ablation: Pallas "
+                        "dice/lava kernel vs the XLA composition)")
     args = p.parse_args()
 
     if args.dcn_vjp:
@@ -112,6 +115,8 @@ def main():
     cfg = set_cfg(args.config).copy(dict(
         compute_dtype=args.dtype,
         remat_backbone=not args.no_remat))
+    if args.fused_loss is not None:
+        cfg = cfg.copy(dict(fused_loss_kernel=args.fused_loss))
     if args.no_dcn:
         cfg = cfg.copy(dict(backbone=cfg.backbone.copy(dict(
             dcn_layers=(0, 0, 0, 0)))))
