@@ -349,3 +349,45 @@ def test_evaluate_device_metrics_match_host(tmp_path):
     np.testing.assert_array_equal(np.asarray(depth_host),
                                   np.asarray(depth_dev))
     assert maps_host == maps_dev
+
+
+def test_evaluate_device_metrics_capacity_fallback(tmp_path):
+    """A batch containing an image with more GT planes than
+    cfg.max_instances must fall back to the host-IoU path (not silently
+    truncate GT) and still reproduce the host metrics exactly."""
+    import json
+    import random
+
+    import eval as eval_script
+    from planerecnet_tpu.data import BaseTransform, build_dataset
+    from planerecnet_tpu.runner import PlaneRecNetRunner
+
+    cfg = _train_cfg(tmp_path)
+    cfg = cfg.copy(dict(solov2=cfg.solov2.copy(dict(
+        score_thr=0.01, update_thr=0.01))))
+    # Duplicate image-0's annotation until it exceeds max_instances (=2).
+    info = cfg.dataset.train_info
+    j = json.load(open(info))
+    extra = [dict(a, id=100 + i) for a in j["annotations"]
+             if a["image_id"] == j["images"][0]["id"] for i in range(3)]
+    j["annotations"] = j["annotations"] + extra
+    info2 = str(tmp_path / "overcap.json")
+    json.dump(j, open(info2, "w"))
+    cfg = cfg.copy(dict(dataset=cfg.dataset.copy(dict(train_info=info2))))
+
+    ds = build_dataset(cfg, "train", transform=BaseTransform(cfg))
+    net = PlaneRecNetRunner(cfg)
+    assert any(len(ds.pull_item(i)[1]["classes"]) > cfg.max_instances
+               for i in range(len(ds)))
+
+    random.seed(11)
+    maps_host, depth_host = eval_script.evaluate(
+        net, ds, eval_nums=3, no_bar=True, batch_size=2,
+        device_metrics=False)
+    random.seed(11)
+    maps_dev, depth_dev = eval_script.evaluate(
+        net, ds, eval_nums=3, no_bar=True, batch_size=2,
+        device_metrics=True)
+    np.testing.assert_array_equal(np.asarray(depth_host),
+                                  np.asarray(depth_dev))
+    assert maps_host == maps_dev
