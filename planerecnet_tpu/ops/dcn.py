@@ -207,18 +207,34 @@ DCN_BATCH_CHUNK = int(_os.environ.get("PRN_DCN_BATCH_CHUNK", "1"))
 # the way chunk=2 does. Measured (PERF.md round 3): no win — kept at 1.
 DCN_SCAN_UNROLL = int(_os.environ.get("PRN_DCN_SCAN_UNROLL", "1"))
 
+# Adaptive chunking threshold (MB): a layer is scan-chunked only when its
+# FULL-BATCH corner working set (B*Ho*Wo*K taps x 4 corners x Cin, compute
+# dtype) exceeds this budget — small levels (e.g. the 20x20 conv5 maps)
+# then run as one fused gather with no scan overhead. 0 = chunk every
+# batched layer (round-3 default behaviour).
+DCN_CHUNK_MAX_MB = float(_os.environ.get("PRN_DCN_CHUNK_MAX_MB", "0"))
+
 
 def _forward_impl(x, offset, mask, weight, bias, stride, padding,
                   kernel_size, gather_mode=None):
     # Per-chunk op: with USE_CUSTOM_VJP the chunk gets the hand-written
-    # backward (Pallas scatter input-grad) — applied at chunk granularity so
-    # the reverse scan keeps its corner transients chunk-sized. The custom
-    # core always samples in "rows" mode (it is a training path; patch's
-    # value is inference-only).
+    # backward — applied at chunk granularity so the reverse scan keeps its
+    # corner transients chunk-sized. The custom core's forward gather mode
+    # comes from PRN_DCN_CUSTOM_FWD (default "rows"); its primal is bit-exact
+    # either way, so "patch" buys the inference-mode forward speed while the
+    # hand-written backward sidesteps patch autodiff's catastrophic
+    # 2x2-slice scatter.
     fwd = (_deform_conv2d_core if USE_CUSTOM_VJP
            else functools.partial(_forward_chunk, gather_mode=gather_mode))
     b = x.shape[0]
     chunk = DCN_BATCH_CHUNK
+    if DCN_CHUNK_MAX_MB > 0:
+        k = kernel_size * kernel_size
+        ho, wo = offset.shape[1], offset.shape[2]
+        corner_mb = (b * ho * wo * k * 4 * x.shape[-1]
+                     * jnp.dtype(x.dtype).itemsize) / 2**20
+        if corner_mb <= DCN_CHUNK_MAX_MB:
+            chunk = 0  # fits: one fused gather, no scan
     if 0 < chunk < b and b % chunk == 0:
         nb = b // chunk
         xs = (x.reshape(nb, chunk, *x.shape[1:]),
@@ -244,12 +260,24 @@ def _deform_conv2d_core(x, offset, mask, weight, bias, stride, padding,
     # VMEM-resident chunk size (the round-2 full-batch form materialised
     # ~3.8 GB corner tensors and lost to autodiff end-to-end; PERF.md).
     return _forward_chunk(x, offset, mask, weight, bias, stride, padding,
-                          kernel_size)
+                          kernel_size, gather_mode=CUSTOM_FWD_GATHER)
+
+
+# Forward gather mode of the custom-VJP core ("rows" | "patch"); the
+# backward is hand-written either way so patch's autodiff-scatter problem
+# does not apply. Read at trace time.
+CUSTOM_FWD_GATHER = _os.environ.get("PRN_DCN_CUSTOM_FWD", "rows")
+
+# Input-gradient scatter used by the hand-written backward: "pallas" (the
+# banded VMEM-accumulator kernel) or "xla" (plain scatter-add — the same op
+# autodiff emits, here paired with the analytic dweight/doffset/dmask
+# formulas above instead of autodiff's recomputation graph).
+CUSTOM_BWD_SCATTER = _os.environ.get("PRN_DCN_SCATTER", "pallas")
 
 
 def _dcn_fwd(x, offset, mask, weight, bias, stride, padding, kernel_size):
     out = _forward_chunk(x, offset, mask, weight, bias, stride, padding,
-                         kernel_size)
+                         kernel_size, gather_mode=CUSTOM_FWD_GATHER)
     return out, (x, offset, mask, weight, bias is not None)
 
 
@@ -330,7 +358,9 @@ def _dcn_bwd(stride, padding, kernel_size, res, dout):
     cx = jnp.clip(x0 + 1, 0, w)
     corner_idx = jnp.stack([cy, cx], axis=-1).astype(jnp.int32)
     scatter = (dcn_input_grad_pallas
-               if jax.default_backend() == "tpu" else dcn_input_grad_xla)
+               if (jax.default_backend() == "tpu"
+                   and CUSTOM_BWD_SCATTER == "pallas")
+               else dcn_input_grad_xla)
     dx = scatter(corner_idx, contrib_w, dcols, h, w).astype(x.dtype)
 
     return dx, doffset, dmask, dweight, dbias

@@ -140,6 +140,87 @@ def test_custom_vjp_matches_autodiff(monkeypatch):
                                    rtol=1e-3, atol=1e-4, err_msg=n)
 
 
+def test_batch_chunking_bit_exact(monkeypatch):
+    """Scan-chunked, unchunked, and adaptive-threshold forwards must agree
+    bit-exactly (chunking is a pure scheduling decision)."""
+    import planerecnet_tpu.ops.dcn as dcn_mod
+
+    rng = np.random.RandomState(11)
+    b, h, w, cin, cout = 4, 7, 9, 4, 6
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    offset = jnp.asarray(rng.randn(b, h, w, 18).astype(np.float32) * 1.2)
+    mask = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * .1)
+
+    def run():
+        # jit cache keys on static args only, so clear between variants.
+        deform_conv2d.clear_cache()
+        return np.asarray(deform_conv2d(x, offset, mask, weight, None,
+                                        stride=1, padding=1,
+                                        gather_mode="rows"))
+
+    monkeypatch.setattr(dcn_mod, "DCN_BATCH_CHUNK", 1)
+    monkeypatch.setattr(dcn_mod, "DCN_CHUNK_MAX_MB", 0.0)
+    chunked = run()
+
+    monkeypatch.setattr(dcn_mod, "DCN_BATCH_CHUNK", 0)
+    unchunked = run()
+
+    monkeypatch.setattr(dcn_mod, "DCN_BATCH_CHUNK", 1)
+    # Corner set here is ~0.03 MB, far under threshold -> unchunked path.
+    monkeypatch.setattr(dcn_mod, "DCN_CHUNK_MAX_MB", 1.0)
+    adaptive_skip = run()
+
+    # Threshold below the corner set -> chunked path.
+    monkeypatch.setattr(dcn_mod, "DCN_CHUNK_MAX_MB", 1e-6)
+    adaptive_chunk = run()
+
+    np.testing.assert_array_equal(chunked, unchunked)
+    np.testing.assert_array_equal(chunked, adaptive_skip)
+    np.testing.assert_array_equal(chunked, adaptive_chunk)
+
+
+def test_custom_vjp_patch_fwd_xla_scatter(monkeypatch):
+    """The hybrid training path (custom VJP with a patch-mode forward and
+    the XLA scatter-add for dx) must be bit-exact in the primal and match
+    autodiff in all five gradients."""
+    import planerecnet_tpu.ops.dcn as dcn_mod
+    from planerecnet_tpu.ops.dcn import deform_conv2d_reference
+    monkeypatch.setattr(dcn_mod, "USE_CUSTOM_VJP", True)
+    monkeypatch.setattr(dcn_mod, "CUSTOM_FWD_GATHER", "patch")
+    monkeypatch.setattr(dcn_mod, "CUSTOM_BWD_SCATTER", "xla")
+
+    rng = np.random.RandomState(7)
+    b, h, w, cin, cout = 2, 9, 8, 4, 6
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    offset = jnp.asarray(rng.randn(b, h, w, 18).astype(np.float32) * 1.5)
+    mask = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * .1)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32))
+    cot = jnp.asarray(rng.randn(b, h, w, cout).astype(np.float32))
+
+    out_c = deform_conv2d(x, offset, mask, weight, bias, stride=1, padding=1)
+    out_r = deform_conv2d_reference(x, offset, mask, weight, bias,
+                                    stride=1, padding=1)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_r))
+
+    def loss_custom(*args):
+        return jnp.sum(deform_conv2d(*args, stride=1, padding=1) * cot)
+
+    def loss_ref(*args):
+        return jnp.sum(deform_conv2d_reference(*args, stride=1, padding=1)
+                       * cot)
+
+    g_c = jax.grad(loss_custom, argnums=(0, 1, 2, 3, 4))(
+        x, offset, mask, weight, bias)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, offset, mask, weight, bias)
+    for n, a, b_ in zip(["dx", "doffset", "dmask", "dweight", "dbias"],
+                        g_c, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4, err_msg=n)
+
+
 def test_custom_vjp_zero_offsets_integer_positions(monkeypatch):
     """Offset gradients at exactly-integer sample positions (the zero-init
     state) must include the neighbouring-pixel terms."""
