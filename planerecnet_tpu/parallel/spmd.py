@@ -47,7 +47,9 @@ def jit_forward(cfg: PlaneRecNetConfig, mesh: Mesh,
     img_spec = NamedSharding(
         mesh, P("data", "spatial" if spatial else None, None, None))
 
-    @functools.partial(jax.jit, out_shardings=repl)
+    from planerecnet_tpu.utils.utils import jit_kwargs
+
+    @functools.partial(jax.jit, out_shardings=repl, **jit_kwargs())
     def fn(variables, images):
         return model.apply(variables, images, train=False)
 

@@ -22,6 +22,7 @@ from planerecnet_tpu.models.planerecnet import PlaneRecNet
 from planerecnet_tpu.ops.image import fast_base_transform
 from planerecnet_tpu.ops.postprocess import postprocess_batch
 from planerecnet_tpu.utils import checkpoint as ckpt
+from planerecnet_tpu.utils.utils import jit_kwargs
 
 
 class PlaneRecNetRunner:
@@ -78,7 +79,7 @@ class PlaneRecNetRunner:
         if key not in self._jitted:
             cfg = self.cfg
 
-            @jax.jit
+            @functools.partial(jax.jit, **jit_kwargs())
             def run(variables, images_bgr):
                 x = fast_base_transform(images_bgr)
                 preds = self.model.apply(variables, x, train=False)
@@ -114,7 +115,7 @@ class PlaneRecNetRunner:
         if key not in self._jitted:
             cfg = self.cfg
 
-            @jax.jit
+            @functools.partial(jax.jit, **jit_kwargs())
             def run(variables, x):
                 preds = self.model.apply(variables, x, train=False)
                 return postprocess_batch(preds, cfg, ori_size)
@@ -150,7 +151,7 @@ class PlaneRecNetRunner:
         if key not in self._jitted:
             cfg = self.cfg
 
-            @jax.jit
+            @functools.partial(jax.jit, **jit_kwargs())
             def run(variables, x, gt_masks):
                 preds = self.model.apply(variables, x, train=False)
                 out = postprocess_batch(preds, cfg, ori_size)

@@ -203,9 +203,12 @@ def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None,
     # (~0.6 ms) and keeps every buffer on device.
     gradp = functools.partial(grad_step, cfg=cfg)
 
+    from planerecnet_tpu.utils.utils import jit_kwargs
+    jkw = jit_kwargs()
+
     if mesh is None:
-        jit_g = jax.jit(gradp)
-        jit_u = jax.jit(apply_grads, donate_argnums=(0, 1))
+        jit_g = jax.jit(gradp, **jkw)
+        jit_u = jax.jit(apply_grads, donate_argnums=(0, 1), **jkw)
 
         def step(state, batch):
             grads, new_bs, losses = jit_g(state, batch)
@@ -235,8 +238,9 @@ def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None,
         batch = {k: put(k, v) for k, v in batch.items()}
         return state, batch
 
-    jit_g = jax.jit(gradp, out_shardings=(repl, repl, repl))
-    jit_u = jax.jit(apply_grads, donate_argnums=(0, 1), out_shardings=repl)
+    jit_g = jax.jit(gradp, out_shardings=(repl, repl, repl), **jkw)
+    jit_u = jax.jit(apply_grads, donate_argnums=(0, 1), out_shardings=repl,
+                    **jkw)
 
     def step(state, batch):
         grads, new_bs, losses = jit_g(state, batch)

@@ -162,3 +162,44 @@ def enable_tpu_compile_cache(cache_dir: Optional[str] = None) -> bool:
         return True
     except Exception:
         return False
+
+
+def tpu_compiler_options() -> dict:
+    """Extra XLA:TPU compiler options for the heavy jitted programs.
+
+    Parsed from ``PRN_TPU_COMPILER_OPTIONS`` ("flag=value,flag=value").
+    This environment's TPU compiles run on a REMOTE service, so backend
+    flags cannot go through ``XLA_FLAGS`` (the local CPU-side parser
+    rejects TPU-only flags and aborts the process); per-jit
+    ``compiler_options`` travel inside the PJRT compile request instead
+    and are validated by the actual TPU compiler. Returns ``{}`` when the
+    env is unset or the backend is not TPU (the CPU compiler would reject
+    TPU flag names).
+
+    Example: ``PRN_TPU_COMPILER_OPTIONS=xla_tpu_scoped_vmem_limit_kib=65536``.
+    """
+    spec = os.environ.get("PRN_TPU_COMPILER_OPTIONS", "").strip()
+    if not spec:
+        return {}
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return {}
+    except Exception:
+        return {}
+    opts = {}
+    for item in spec.split(","):
+        if not item.strip():
+            continue
+        key, _, val = item.partition("=")
+        opts[key.strip()] = val.strip()
+    return opts
+
+
+def jit_kwargs() -> dict:
+    """kwargs to splat into ``jax.jit`` for framework-level programs:
+    ``{"compiler_options": {...}}`` when PRN_TPU_COMPILER_OPTIONS is set
+    on TPU, else ``{}`` (so the default path is byte-identical)."""
+    opts = tpu_compiler_options()
+    return {"compiler_options": opts} if opts else {}

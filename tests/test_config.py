@@ -69,3 +69,27 @@ def test_tpu_compile_cache_gated_off_on_cpu():
 
     assert not enable_tpu_compile_cache()
     assert jax.config.jax_compilation_cache_dir is None
+
+
+def test_tpu_compiler_options_parsing_and_cpu_gate(monkeypatch):
+    """PRN_TPU_COMPILER_OPTIONS parses to a dict but is gated OFF off-TPU
+    (the CPU compiler rejects TPU-only flag names); jit_kwargs() splats to
+    {} so default jits are byte-identical (utils/utils.py)."""
+    from planerecnet_tpu.utils import utils as u
+
+    monkeypatch.delenv("PRN_TPU_COMPILER_OPTIONS", raising=False)
+    assert u.tpu_compiler_options() == {}
+    assert u.jit_kwargs() == {}
+
+    monkeypatch.setenv("PRN_TPU_COMPILER_OPTIONS",
+                       "xla_tpu_scoped_vmem_limit_kib=65536, foo=bar")
+    # Backend here is CPU (conftest forces it): still {}.
+    assert u.tpu_compiler_options() == {}
+
+    # The parsing itself, with the backend gate bypassed.
+    import jax
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert u.tpu_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536", "foo": "bar"}
+    assert u.jit_kwargs() == {"compiler_options": {
+        "xla_tpu_scoped_vmem_limit_kib": "65536", "foo": "bar"}}
