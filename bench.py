@@ -106,9 +106,13 @@ def main():
             force(net.infer(device_frames[i % args.iters]))
         sync_ms = (time.perf_counter() - t0) / args.sync_iters * 1000
 
-    # RTX 3090 FPS baselines (reference README.md:35-38): 19.1 for PRN-50,
-    # 14.4 for PRN-101.
-    baseline = {"PlaneRecNet_101": 14.4}.get(cfg.name, 19.1)
+    # RTX 3090 FPS baselines (reference README.md:35-38). Only PRN-50 and
+    # PRN-101 have published numbers; any other config (tiny, base, future
+    # variants) reports no vs_baseline rather than a fake multiple.
+    baseline = {
+        "PlaneRecNet_50": 19.1,
+        "PlaneRecNet_101": 14.4,
+    }.get(cfg.name)
     # Report the dtype that actually ran: "auto" resolves to bf16 for
     # inference on TPU (accuracy-gated, tests/test_bf16.py), f32 elsewhere.
     dtype = cfg.compute_dtype
@@ -121,7 +125,9 @@ def main():
                   f"{dtype}, distinct frames)",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
-        "vs_baseline": round(imgs_per_sec / baseline, 3),
+        "baseline": baseline,
+        "vs_baseline": (round(imgs_per_sec / baseline, 3)
+                        if baseline is not None else None),
     }
     if sync_ms is not None:
         out["sync_roundtrip_ms"] = round(sync_ms, 1)

@@ -43,10 +43,41 @@ def parse_args(argv=None):
                              "full readback masks instead of on device "
                              "(bit-identical; ~25x more host<->device "
                              "traffic — debugging aid).")
-    parser.add_argument("--top_k", default=100, type=int)
-    parser.add_argument("--nms_mode", default="matrix", type=str,
-                        choices=["matrix", "mask"])
-    parser.add_argument("--score_threshold", default=0.1, type=float)
+    # --- NMS/threshold overrides: pinned semantics (VERDICT r3 item 4) ---
+    # The reference's CLI here is triply ambiguous (reference
+    # eval.py:377-387): it *intends* to override mask_thr AND update_thr
+    # with --score_threshold (default 0.15), but then calls set_cfg again,
+    # which rebuilds the global cfg and WIPES its own override — so every
+    # reference eval (including the published Table-2 metrics) actually ran
+    # on the PRESET thresholds: score_thr=0.1, mask_thr=0.1,
+    # update_thr=0.15, top_k=100, matrix NMS (reference
+    # data/config.py:319-333).
+    #
+    # This framework pins the reference-ACTUAL behavior as the official
+    # parity configuration: a flagless run uses exactly the preset
+    # thresholds (asserted by tests/test_cli.py::
+    # test_official_parity_thresholds). Explicit flags then do what their
+    # help text says — --score_threshold filters detections by score
+    # (score_thr; the reference's *intended* mask_thr remap would change
+    # mask binarisation, which contradicts its own help string), and the
+    # binarisation/update thresholds get their own flags instead of being
+    # silently aliased.
+    parser.add_argument("--top_k", default=None, type=int,
+                        help="Max detections kept per image "
+                             "(default: config preset, 100).")
+    parser.add_argument("--nms_mode", default=None, type=str,
+                        choices=["matrix", "mask"],
+                        help="NMS type (default: config preset, matrix).")
+    parser.add_argument("--score_threshold", default=None, type=float,
+                        help="Detections with a score under this threshold "
+                             "are not considered (score_thr; default: "
+                             "config preset, 0.1).")
+    parser.add_argument("--mask_threshold", default=None, type=float,
+                        help="Mask binarisation / NMS-IoU threshold "
+                             "(mask_thr; default: config preset, 0.1).")
+    parser.add_argument("--update_threshold", default=None, type=float,
+                        help="Post-NMS rescored-confidence filter "
+                             "(update_thr; default: config preset, 0.15).")
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16", "auto"],
@@ -64,6 +95,30 @@ def parse_args(argv=None):
     global args
     args = parser.parse_args(argv)
     return args
+
+
+def apply_nms_overrides(cfg, args):
+    """Apply ONLY explicitly-passed NMS/threshold flags onto the config.
+
+    A flagless run therefore evaluates with the preset thresholds — the
+    configuration the reference actually used for its published metrics
+    (its own override is wiped by a second set_cfg, reference
+    eval.py:377-387; see the parse_args comment for the full story).
+    """
+    overrides = {}
+    if args.nms_mode is not None:
+        overrides["nms_type"] = args.nms_mode
+    if args.score_threshold is not None:
+        overrides["score_thr"] = args.score_threshold
+    if args.mask_threshold is not None:
+        overrides["mask_thr"] = args.mask_threshold
+    if args.update_threshold is not None:
+        overrides["update_thr"] = args.update_threshold
+    if args.top_k is not None:
+        overrides["top_k"] = args.top_k
+    if overrides:
+        cfg = cfg.copy(dict(solov2=cfg.solov2.copy(overrides)))
+    return cfg
 
 
 def tensorboard_visual_log(net, dataset, writer, iteration, eval_nums):
@@ -242,11 +297,7 @@ def main(argv=None):
         cfg = set_dataset(cfg, args.dataset)
 
     cfg = cfg.copy(dict(compute_dtype=args.dtype))
-    cfg = cfg.copy(dict(solov2=cfg.solov2.copy(dict(
-        nms_type=args.nms_mode,
-        score_thr=args.score_threshold,
-        top_k=args.top_k,
-    ))))
+    cfg = apply_nms_overrides(cfg, args)
 
     os.makedirs("results", exist_ok=True)
     dataset = build_dataset(cfg, "eval", transform=BaseTransform(cfg))

@@ -95,6 +95,38 @@ def test_bench_json_shape(monkeypatch, capsys):
     assert payload["value"] > 0
 
 
+def test_official_parity_thresholds():
+    """A flagless eval run must use the PRESET thresholds — the
+    configuration the reference actually evaluated with (its CLI override
+    is wiped by a second set_cfg, reference eval.py:377-387), i.e. the one
+    behind the published Table-2 metrics."""
+    import eval as eval_cli
+
+    args = eval_cli.parse_args(["--config", "PlaneRecNet_50_config"])
+    cfg = eval_cli.apply_nms_overrides(PlaneRecNet_50_config, args)
+    # reference data/config.py:319-333 presets (== reference-actual run)
+    assert cfg.solov2.score_thr == 0.1
+    assert cfg.solov2.mask_thr == 0.1
+    assert cfg.solov2.update_thr == 0.15
+    assert cfg.solov2.top_k == 100
+    assert cfg.solov2.nms_type == "matrix"
+    # flagless => the config object is untouched (no silent rebuild)
+    assert cfg.solov2 is PlaneRecNet_50_config.solov2
+
+    # explicit flags do what their help text says
+    args = eval_cli.parse_args([
+        "--config", "PlaneRecNet_50_config",
+        "--score_threshold", "0.3", "--mask_threshold", "0.2",
+        "--update_threshold", "0.4", "--top_k", "17",
+        "--nms_mode", "mask"])
+    cfg = eval_cli.apply_nms_overrides(PlaneRecNet_50_config, args)
+    assert cfg.solov2.score_thr == 0.3
+    assert cfg.solov2.mask_thr == 0.2
+    assert cfg.solov2.update_thr == 0.4
+    assert cfg.solov2.top_k == 17
+    assert cfg.solov2.nms_type == "mask"
+
+
 def _train_cfg(tmp_path, **over):
     """Tiny trainable config over the synthetic on-disk ScanNet set."""
     from test_data import _write_synthetic_scannet
