@@ -88,6 +88,23 @@ def parse_args(argv=None):
                              "configuration (drift bounded by "
                              "tests/test_bf16.py but can marginally move AP "
                              "at the strict IoU thresholds).")
+    parser.add_argument("--output_coco_json", action="store_true",
+                        help="Instead of computing IoU metrics, dump "
+                             "detections as COCO-format box + mask-RLE "
+                             "result JSONs for external scorers. The "
+                             "reference parses this flag but never "
+                             "implemented the dump (reference "
+                             "eval.py:41-45); here it is implemented with "
+                             "the framework's own RLE encoder "
+                             "(planerecnet_tpu/native/rle.c).")
+    parser.add_argument("--bbox_det_file",
+                        default="results/bbox_detections.json", type=str,
+                        help="Output file for COCO bbox results when "
+                             "--output_coco_json is set.")
+    parser.add_argument("--mask_det_file",
+                        default="results/mask_detections.json", type=str,
+                        help="Output file for COCO mask results when "
+                             "--output_coco_json is set.")
     parser.add_argument("--autopsy", action="store_true",
                         help="Also write predicted seg/depth image panels "
                              "to TensorBoard (reference eval.py:419-426).")
@@ -95,6 +112,77 @@ def parse_args(argv=None):
     global args
     args = parser.parse_args(argv)
     return args
+
+
+class COCODetectionDumper:
+    """Accumulates predictions as COCO-format detection results.
+
+    Fills the surface the reference exposes but never implements
+    (``--output_coco_json``/``--bbox_det_file``/``--mask_det_file``,
+    reference eval.py:41-45): per-image score-sorted box and compressed-RLE
+    mask entries at the ORIGINAL image resolution, so the JSONs are directly
+    consumable by pycocotools-based external scorers against the original
+    annotation file.
+    """
+
+    def __init__(self, dataset):
+        from planerecnet_tpu.data.datasets import get_label_map
+        # predictions are 0-based contiguous labels; invert the dataset's
+        # category_id -> label map to recover COCO category ids.
+        lm = get_label_map(dataset.cfg)
+        self.label_to_cat = {v - 1: k for k, v in lm.items()}
+        self.dataset = dataset
+        self.bbox_entries = []
+        self.mask_entries = []
+
+    def add_image(self, dataset_index, masks, boxes, classes, scores):
+        """masks: (N, h, w) bool at the evaluated resolution; boxes xyxy in
+        the same space; entries are rescaled to the original image size."""
+        import cv2
+
+        from planerecnet_tpu.data.coco import mask_to_compressed_rle
+
+        img_id = self.dataset.ids[dataset_index]
+        info = self.dataset.coco.loadImgs(img_id)[0]
+        oh, ow = info["height"], info["width"]
+        order = np.argsort(-np.asarray(scores))
+        for i in order:
+            score = float(scores[i])
+            cat_id = self.label_to_cat.get(int(classes[i]))
+            if cat_id is None:
+                # The reference trains cate channel == 0-based gt label and
+                # keeps one extra never-positive channel (num_classes =
+                # len(class_names)+1, reference data/config.py:313-equiv);
+                # detections on unmapped channels have no COCO category to
+                # score against, so they are not dumped.
+                continue
+            m = np.asarray(masks[i], np.float32)
+            h, w = m.shape
+            if (h, w) != (oh, ow):
+                m = cv2.resize(m, (ow, oh), interpolation=cv2.INTER_LINEAR)
+            rle = mask_to_compressed_rle(m > 0.5)
+            x1, y1, x2, y2 = np.asarray(boxes[i], np.float64)
+            sx, sy = ow / w, oh / h
+            bbox = [x1 * sx, y1 * sy, (x2 - x1) * sx, (y2 - y1) * sy]
+            self.bbox_entries.append({
+                "image_id": int(img_id), "category_id": int(cat_id),
+                "bbox": [round(float(v), 2) for v in bbox],
+                "score": round(score, 5)})
+            self.mask_entries.append({
+                "image_id": int(img_id), "category_id": int(cat_id),
+                "segmentation": rle, "score": round(score, 5)})
+
+    def dump(self, bbox_file, mask_file):
+        import json
+        for path, entries in ((bbox_file, self.bbox_entries),
+                              (mask_file, self.mask_entries)):
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(entries, f)
+        print(f"\nDumped {len(self.bbox_entries)} detections to "
+              f"{bbox_file} / {mask_file}")
 
 
 def apply_nms_overrides(cfg, args):
@@ -153,7 +241,8 @@ def tensorboard_visual_log(net, dataset, writer, iteration, eval_nums):
 
 
 def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
-             eval_nums=-1, no_bar=False, batch_size=1, device_metrics=True):
+             eval_nums=-1, no_bar=False, batch_size=1, device_metrics=True,
+             dumper=None):
     """Main eval loop (reference eval.py:63-130). Returns (all_maps, depth
     metric means).
 
@@ -203,7 +292,8 @@ def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
             h, w = images.shape[1:3]
             n_cap = net.cfg.max_instances
             gts = [gt for _, gt, _ in items]
-            use_dev = device_metrics and all(
+            # the COCO dump needs the full binarised masks on host
+            use_dev = dumper is None and device_metrics and all(
                 len(g["classes"]) <= n_cap for g in gts)
             if use_dev:
                 gt_pad = np.zeros((images.shape[0], n_cap, h, w), np.float32)
@@ -224,16 +314,24 @@ def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
         for j, (_, gt_instances, gt_depth) in enumerate(items):
             it += 1
             valid = np.asarray(batched["pred_valid"][j])
-            pred_depth = np.asarray(batched["pred_depth"][j])
-            depth_err = compute_depth_metrics(
-                pred_depth, gt_depth[..., 0], net.cfg, median_scaling=True)
-            infos.append(depth_err)
+            if dumper is None:
+                pred_depth = np.asarray(batched["pred_depth"][j])
+                depth_err = compute_depth_metrics(
+                    pred_depth, gt_depth[..., 0], net.cfg,
+                    median_scaling=True)
+                infos.append(depth_err)
 
             if valid.any():
                 pred_boxes = np.asarray(batched["pred_boxes"][j])[valid]
                 pred_classes = np.asarray(batched["pred_classes"][j])[valid]
                 pred_scores = np.asarray(batched["pred_scores"][j])[valid]
-                if use_dev:
+                if dumper is not None:
+                    # dump-only mode ("instead of processing IoU values",
+                    # reference eval.py:41-42): no metric accumulation.
+                    pred_masks = np.asarray(batched["pred_masks"][j])[valid]
+                    dumper.add_image(chunk[j], pred_masks, pred_boxes,
+                                     pred_classes, pred_scores)
+                elif use_dev:
                     n_gt = len(gt_instances["classes"])
                     iou_cache = np.asarray(
                         batched["gt_mask_iou"][j])[valid][:, :n_gt]
@@ -265,6 +363,8 @@ def evaluate(net: PlaneRecNetRunner, dataset, during_training=False,
         print(f"\nWARNING: candidate capacity saturated on {clipped_images} "
               f"image(s) — semantics diverge from the reference there "
               f"(raise cfg.solov2.max_candidates).")
+    if dumper is not None:
+        return None, None
     all_maps = calc_map(ap_data)
     infos = np.asarray(infos, dtype=np.double)
     means = infos.sum(axis=0) / max(infos.shape[0], 1)
@@ -307,9 +407,12 @@ def main(argv=None):
         net.load_weights(args.trained_model)
     print("done.")
 
+    dumper = COCODetectionDumper(dataset) if args.output_coco_json else None
     evaluate(net, dataset, eval_nums=args.max_images, no_bar=args.no_bar,
              batch_size=args.batch_size,
-             device_metrics=not args.host_metrics)
+             device_metrics=not args.host_metrics, dumper=dumper)
+    if dumper is not None:
+        dumper.dump(args.bbox_det_file, args.mask_det_file)
 
     if args.autopsy:
         import datetime

@@ -90,8 +90,15 @@ def _native_fill(counts, h, w):
 
 
 def mask_to_rle(mask: np.ndarray) -> Dict:
-    """Encode a (H, W) binary mask as uncompressed column-major RLE."""
+    """Encode a (H, W) binary mask as uncompressed column-major RLE.
+
+    Uses the C codec (planerecnet_tpu/native/rle.c::rle_encode_mask) when
+    available, falling back to a vectorised numpy scan.
+    """
     h, w = mask.shape
+    native = _native_encode(mask)
+    if native is not None:
+        return {"size": [h, w], "counts": native}
     flat = np.asfortranarray(mask.astype(np.uint8)).reshape(-1, order="F")
     # run-length encode, starting with a (possibly zero-length) 0-run.
     change = np.flatnonzero(np.diff(flat)) + 1
@@ -100,6 +107,42 @@ def mask_to_rle(mask: np.ndarray) -> Dict:
     if flat.size and flat[0] == 1:
         counts = [0] + counts
     return {"size": [h, w], "counts": counts}
+
+
+def _native_encode(mask):
+    try:
+        from planerecnet_tpu.native import rle_encode_mask_native
+        return rle_encode_mask_native(mask)
+    except Exception:
+        return None
+
+
+def _encode_rle_counts(counts) -> str:
+    """Encode runs as a COCO compressed counts string — the exact inverse of
+    ``_decode_rle_counts`` (the public 6-bit-varint format with delta coding
+    for runs past the first two), so dumped detections are consumable by
+    pycocotools-based external scorers."""
+    chars: List[str] = []
+    counts = [int(c) for c in counts]
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5  # arithmetic shift: sign-fills for negative deltas
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            chars.append(chr(c + 48))
+    return "".join(chars)
+
+
+def mask_to_compressed_rle(mask: np.ndarray) -> Dict:
+    """Encode a (H, W) binary mask as COCO compressed RLE (string counts),
+    the format pycocotools' ``encode`` emits and external scorers expect."""
+    rle = mask_to_rle(mask)
+    return {"size": rle["size"], "counts": _encode_rle_counts(rle["counts"])}
 
 
 def polygons_to_mask(polys: List[List[float]], h: int, w: int) -> np.ndarray:

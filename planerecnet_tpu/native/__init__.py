@@ -9,5 +9,6 @@ pure-python fallback.
 from planerecnet_tpu.native.rle_native import (  # noqa: F401
     native_available,
     rle_decode_counts_native,
+    rle_encode_mask_native,
     rle_fill_native,
 )

@@ -53,6 +53,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rle_fill.argtypes = [
         ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+    lib.rle_encode_mask.restype = ctypes.c_longlong
+    lib.rle_encode_mask.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong]
     _lib = lib
     return _lib
 
@@ -90,3 +94,26 @@ def rle_fill_native(counts, h: int, w: int) -> Optional[np.ndarray]:
     if rc != 0:
         raise ValueError("RLE runs overflow the mask buffer")
     return flat.reshape(w, h).T
+
+
+def rle_encode_mask_native(mask: np.ndarray) -> Optional[List[int]]:
+    """Encode a (H, W) binary mask into column-major runs; None if the
+    native lib is unavailable (rle.c::rle_encode_mask)."""
+    lib = _load()
+    if lib is None:
+        return None
+    flat = np.asfortranarray(np.ascontiguousarray(mask) != 0).reshape(
+        -1, order="F").astype(np.uint8)
+    cap = flat.size + 2  # worst case: alternating pixels
+    out = np.empty(cap, dtype=np.int64)
+    m = lib.rle_encode_mask(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), flat.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), cap)
+    if m < 0:
+        raise ValueError("RLE encode capacity overflow")
+    counts = out[:m].tolist()
+    if flat.size and flat[0] == 1:
+        # runs must start with a 0-run; the C encoder starts with val=0 so
+        # it already emits a leading zero-length run in this case.
+        pass
+    return counts

@@ -231,6 +231,56 @@ def test_evaluate_batched_matches_batch1(tmp_path):
     assert maps1 == maps2
 
 
+def test_output_coco_json_dump(tmp_path):
+    """--output_coco_json writes score-sorted COCO-format box + mask-RLE
+    detections at the ORIGINAL image resolution, decodable by the
+    framework's own COCO reader (reference eval.py:41-45 parses these flags
+    but never implements the dump)."""
+    import random
+
+    import eval as eval_script
+    from planerecnet_tpu.data import BaseTransform, build_dataset
+    from planerecnet_tpu.data.coco import rle_to_mask
+    from planerecnet_tpu.runner import PlaneRecNetRunner
+
+    cfg = _train_cfg(tmp_path)
+    cfg = cfg.copy(dict(solov2=cfg.solov2.copy(dict(
+        score_thr=0.01, update_thr=0.01))))
+    ds = build_dataset(cfg, "train", transform=BaseTransform(cfg))
+    net = PlaneRecNetRunner(cfg)
+
+    random.seed(5)
+    dumper = eval_script.COCODetectionDumper(ds)
+    maps, depth = eval_script.evaluate(net, ds, eval_nums=3, no_bar=True,
+                                       batch_size=1, dumper=dumper)
+    assert maps is None and depth is None  # dump-only mode skips metrics
+    bbox_file = str(tmp_path / "res" / "bbox.json")
+    mask_file = str(tmp_path / "res" / "mask.json")
+    dumper.dump(bbox_file, mask_file)
+
+    bbox = json.load(open(bbox_file))
+    masks = json.load(open(mask_file))
+    assert len(bbox) == len(masks) > 0
+    img_infos = {i: ds.coco.imgs[i] for i in ds.ids}
+    per_image_scores = {}
+    for b, m in zip(bbox, masks):
+        assert set(b) == {"image_id", "category_id", "bbox", "score"}
+        assert set(m) == {"image_id", "category_id", "segmentation",
+                          "score"}
+        info = img_infos[b["image_id"]]
+        oh, ow = info["height"], info["width"]
+        # mask decodes at the original resolution
+        decoded = rle_to_mask(m["segmentation"])
+        assert decoded.shape == (oh, ow)
+        # bbox is [x, y, w, h] inside the original image
+        x, y, w, h = b["bbox"]
+        assert 0 <= x <= ow + 1 and 0 <= y <= oh + 1
+        assert 0 <= w <= ow + 1 and 0 <= h <= oh + 1
+        per_image_scores.setdefault(b["image_id"], []).append(b["score"])
+    for scores in per_image_scores.values():
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_ibims1_pipelines(tmp_path, monkeypatch):
     """iBims-1 .mat reader/writer + PCA plane-depth re-render
     (reference simple_inference.py:202-324)."""

@@ -60,3 +60,54 @@ def test_compressed_string_full_path():
     s = _encode_counts(rle["counts"])
     decoded = rle_to_mask({"size": [29, 31], "counts": s})
     np.testing.assert_array_equal(decoded, mask)
+
+
+def test_framework_string_encoder_matches_independent():
+    """The framework's compressed-counts encoder (used by the COCO
+    detection dump) must emit the exact pycocotools string format — pinned
+    against this file's independently-written encoder."""
+    from planerecnet_tpu.data.coco import _encode_rle_counts
+
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        counts = rng.randint(0, 5000, size=rng.randint(1, 60)).tolist()
+        assert _encode_rle_counts(counts) == _encode_counts(counts)
+    # delta coding goes negative when a later run is shorter
+    counts = [0, 4000, 1, 2, 1, 3999]
+    assert _encode_rle_counts(counts) == _encode_counts(counts)
+    assert _decode_rle_counts(_encode_rle_counts(counts)) == counts
+
+
+def test_mask_to_compressed_rle_roundtrip():
+    from planerecnet_tpu.data.coco import mask_to_compressed_rle
+
+    rng = np.random.RandomState(4)
+    cases = [np.zeros((5, 7), np.uint8), np.ones((5, 7), np.uint8),
+             np.eye(6, dtype=np.uint8)]
+    cases += [(rng.rand(*rng.randint(1, 50, 2)) > rng.rand())
+              for _ in range(20)]
+    for m in cases:
+        rle = mask_to_compressed_rle(m)
+        assert isinstance(rle["counts"], str)
+        np.testing.assert_array_equal(rle_to_mask(rle),
+                                      m.astype(np.uint8))
+
+
+def test_native_encode_matches_numpy_counts():
+    from planerecnet_tpu.native import rle_encode_mask_native
+
+    rng = np.random.RandomState(5)
+    for mask in [(rng.rand(33, 17) > 0.5),
+                 np.ones((4, 4), np.uint8),      # leading zero-length run
+                 np.zeros((4, 4), np.uint8)]:
+        nat = rle_encode_mask_native(mask)
+        if nat is None:
+            pytest.skip("native lib unavailable")
+        flat = np.asfortranarray(mask.astype(np.uint8)).reshape(-1,
+                                                                order="F")
+        change = np.flatnonzero(np.diff(flat)) + 1
+        bounds = np.concatenate([[0], change, [flat.size]])
+        counts = np.diff(bounds).tolist()
+        if flat[0] == 1:
+            counts = [0] + counts
+        assert nat == counts
