@@ -458,3 +458,26 @@ def set_dataset(cfg: PlaneRecNetConfig, dataset_name: str) -> PlaneRecNetConfig:
         raise KeyError(
             f"Unknown dataset '{dataset_name}'. Available: {sorted(_DATASETS)}")
     return cfg.copy(dict(dataset=_DATASETS[dataset_name]))
+
+
+def apply_overrides(cfg, overrides: dict):
+    """Recursively apply a plain (possibly nested) dict of overrides to a
+    frozen config tree: ``{"max_iter": 10, "solov2": {"top_k": 20}}``.
+
+    The functional replacement for the reference's ad-hoc global-``cfg``
+    surgery (``cfg.solov2.replace(...)``, reference eval.py:377-384, and the
+    batch-autoscaling mutation, train.py:91-97): CLIs expose it as
+    ``--cfg_overrides`` JSON so subprocess-driven runs (multi-host workers,
+    the synthetic closed loop) can reshape any preset without a new named
+    config. Unknown keys raise; JSON lists become tuples via ``copy``.
+    """
+    upd = {}
+    for key, val in overrides.items():
+        if not hasattr(cfg, key):
+            raise KeyError(f"{type(cfg).__name__} has no field '{key}'")
+        cur = getattr(cfg, key)
+        if isinstance(val, dict) and isinstance(cur, _FrozenBase):
+            upd[key] = apply_overrides(cur, val)
+        else:
+            upd[key] = val
+    return cfg.copy(upd)

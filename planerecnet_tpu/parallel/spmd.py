@@ -31,7 +31,26 @@ from planerecnet_tpu.models.planerecnet import PlaneRecNet
 
 def initialize_distributed(**kwargs) -> None:
     """Multi-host entry point (growth path of SURVEY.md §5): initialise the
-    JAX distributed runtime so meshes span hosts over DCN."""
+    JAX distributed runtime so meshes span hosts over DCN.
+
+    Worker wiring can come from the environment (set by a launcher such as
+    ``tools/run_multihost.py``): ``PRN_COORDINATOR_ADDRESS`` /
+    ``PRN_NUM_PROCESSES`` / ``PRN_PROCESS_ID`` map to the matching
+    ``jax.distributed.initialize`` arguments, and ``PRN_PLATFORM`` forces
+    the backend (the local-CPU test path — plain ``JAX_PLATFORMS`` is
+    overridden by the out-of-process TPU plugin on this deployment, so the
+    config update must happen in-process before first backend use).
+    Explicit kwargs win over the environment.
+    """
+    import os
+    if os.environ.get("PRN_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PRN_PLATFORM"])
+    env_args = (("PRN_COORDINATOR_ADDRESS", "coordinator_address", str),
+                ("PRN_NUM_PROCESSES", "num_processes", int),
+                ("PRN_PROCESS_ID", "process_id", int))
+    for env, key, cast in env_args:
+        if env in os.environ and key not in kwargs:
+            kwargs[key] = cast(os.environ[env])
     jax.distributed.initialize(**kwargs)
 
 

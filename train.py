@@ -123,7 +123,17 @@ def parse_args(argv=None):
                         help="Initialise the JAX distributed runtime "
                              "(jax.distributed.initialize) so the data mesh "
                              "spans hosts over DCN; each process loads only "
-                             "its own shard of every global batch.")
+                             "its own shard of every global batch. Worker "
+                             "wiring (coordinator address / process id / "
+                             "platform) comes from PRN_COORDINATOR_ADDRESS /"
+                             " PRN_NUM_PROCESSES / PRN_PROCESS_ID / "
+                             "PRN_PLATFORM when set — tools/run_multihost.py"
+                             " launches local N-process runs this way.")
+    parser.add_argument("--cfg_overrides", default=None, type=str,
+                        help="JSON dict of (possibly nested) config "
+                             "overrides applied after --config/--dataset, "
+                             'e.g. \'{"max_iter": 100, "solov2": '
+                             '{"top_k": 20}}\'.')
     parser.set_defaults(autoscale=True, interrupt=True)
     global args
     args = parser.parse_args(argv)
@@ -143,6 +153,10 @@ def main(argv=None):
     cfg = set_cfg(args.config)
     if args.dataset is not None:
         cfg = set_dataset(cfg, args.dataset)
+    if args.cfg_overrides:
+        import json
+        from planerecnet_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, json.loads(args.cfg_overrides))
     if args.dtype:
         cfg = cfg.copy(dict(compute_dtype=args.dtype))
 
@@ -169,6 +183,14 @@ def main(argv=None):
 
     os.makedirs(args.save_folder, exist_ok=True)
     seed = 42 if args.reproductablity else int(time.time()) % (2 ** 31)
+    if jax.process_count() > 1:
+        # Every process must agree on the seed: it drives the shared batch
+        # permutation (BatchIterator disjoint shards), augmentation RNG and
+        # the parameter init — clock-derived per-process seeds would desync
+        # all three.
+        from jax.experimental import multihost_utils
+        seed = int(multihost_utils.broadcast_one_to_all(
+            np.int32(seed % (2 ** 31))))
 
     dataset = build_dataset(cfg, "train", transform=SSDAugmentation(
         cfg, rng=np.random.RandomState(seed)))
@@ -245,6 +267,7 @@ def main(argv=None):
     LOG_EVERY = 50
     pending_losses = []
     block_start = time.time()
+    debug_batch_sum = os.environ.get("PRN_DEBUG_BATCH_SUM") == "1"
 
     def drain_losses():
         """Pull buffered device losses to host; returns the last dict."""
@@ -308,6 +331,12 @@ def main(argv=None):
                     for avg in loss_avgs.values():
                         avg.reset()
 
+                if debug_batch_sum:
+                    # multi-host shard-disjointness probe (see
+                    # tools/run_multihost.py / tests/test_multihost.py)
+                    print(f"[p{jax.process_index()}] iter {iteration} "
+                          f"batch_sum {float(np.sum(batch['image'])):.2f}",
+                          flush=True)
                 if mesh is not None:
                     state, batch = step_fn.shard_args(state, batch)
                 # (single-device batches arrive device-resident from the
