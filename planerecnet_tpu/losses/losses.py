@@ -216,6 +216,15 @@ def _prepare_level_single(boxes: jnp.ndarray, labels: jnp.ndarray,
     pos_cell = cells[sel]
     pos_inst = slot_inst[sel]
     pos_valid = slot_valid[sel]
+    # Invalid slots carry garbage window cells: coord±1 is unclamped, so an
+    # edge-centred instance that is scale-gated OUT of this level yields
+    # cells >= g*g (or < 0).  Valid slots are always in-bounds (the `ok`
+    # window is clamped to [0, g-1]), but a garbage cell on a PADDED slot
+    # still reaches take_along_axis in compute_losses, whose fill mode
+    # gathers NaN — and although `d * pvalid` masks the slot, 0·NaN = NaN
+    # poisons the whole dice sum's backward pass (params silently NaN on
+    # the first step; round-4 closed-loop finding).  Sanitize to cell 0.
+    pos_cell = jnp.where(pos_valid, pos_cell, 0)
     return cate_label, ins_ind, pos_cell, pos_inst, pos_valid
 
 
@@ -368,7 +377,10 @@ def compute_losses(cfg: PlaneRecNetConfig,
         insts = gt["pos_insts"][lvl]
         pvalid = gt["pos_valids"][lvl].astype(jnp.float32)
 
-        k_sel = jnp.take_along_axis(kp, cells[..., None], axis=1)  # (B,P,K)
+        # pos_cells/pos_insts are sanitized in-bounds by
+        # _prepare_level_single, so skip the fill-mode bounds select.
+        k_sel = jnp.take_along_axis(kp, cells[..., None], axis=1,
+                                    mode="promise_in_bounds")  # (B,P,K)
 
         if use_fused:
             # Fused Pallas kernel: streams the (B,P,Hm*Wm) probabilities
@@ -385,7 +397,8 @@ def compute_losses(cfg: PlaneRecNetConfig,
                 preferred_element_type=jnp.float32)            # (B,P,Hm*Wm)
             probs = jax.nn.sigmoid(logits)
             tgt = jnp.take_along_axis(
-                targets_flat, insts[..., None], axis=1)        # (B,P,Hm*Wm)
+                targets_flat, insts[..., None], axis=1,
+                mode="promise_in_bounds")                      # (B,P,Hm*Wm)
             d = dice_loss(probs, tgt)                          # (B, P)
             if need_lava:
                 dots = jnp.einsum("bpq,bq->bp", probs, grad_low_flat)

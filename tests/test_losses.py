@@ -257,6 +257,60 @@ def test_compute_losses_end_to_end():
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+def test_edge_centred_gated_instance_grads_finite():
+    """Regression: an instance whose mass center sits in the LAST grid
+    row/column and that is scale-gated OUT of a level used to leave an
+    unclamped window cell (>= g*g) on a padded positive slot; the NaN that
+    take_along_axis's fill mode gathers there poisoned the ins/lav backward
+    through 0*NaN even though pvalid masked the forward (params silently
+    NaN on the first real train step — round-4 closed-loop finding)."""
+    cfg = PlaneRecNet_50_config.copy(dict(
+        max_instances=4, max_positives=16, vnl_samples=32))
+    rng = np.random.RandomState(7)
+    b, h, w = 1, 64, 64
+    batch = _tiny_batch(cfg, rng, b=b, h=h, w=w, n=4)
+    # A thin strip hugging the bottom edge: its mass center (y=62.5 of 64)
+    # lands in the LAST grid row of every level (floor(62.5/64*g) == g-1
+    # for g in {40,36,24,16}); its sqrt-area (~7) only hits the finest
+    # scale range, so coarser levels see hit=False with coord_h = g-1
+    # (ci = g -> raw cells >= g*g before the fix).
+    masks = np.asarray(batch["masks"]).copy()
+    boxes = np.asarray(batch["boxes"]).copy()
+    valid = np.asarray(batch["gt_valid"]).copy()
+    masks[0, 1, 62:64, 40:64] = 1
+    boxes[0, 1] = [40, 62, 64, 64]
+    valid[0, 1] = True
+    batch = dict(batch, masks=jnp.asarray(masks), boxes=jnp.asarray(boxes),
+                 gt_valid=jnp.asarray(valid))
+
+    sv = cfg.solov2
+    n_k = sv.num_kernels
+    preds = {
+        "cate_preds": [jnp.asarray(rng.randn(b, g, g, cfg.num_classes)
+                                   .astype(np.float32))
+                       for g in sv.num_grids[:4]],
+        "kernel_preds": [jnp.asarray(rng.randn(b, g, g, n_k)
+                                     .astype(np.float32) * 0.1)
+                         for g in sv.num_grids[:4]],
+        "mask_pred": jnp.asarray(rng.randn(b, h // 4, w // 4, n_k)
+                                 .astype(np.float32) * 0.1),
+        "depth_pred": jnp.asarray(rng.rand(b, h // 2, w // 2, 1)
+                                  .astype(np.float32) + 0.5),
+    }
+
+    @jax.jit
+    def val_and_grad(preds):
+        def f(p):
+            ls = compute_losses(cfg, p, batch, jax.random.PRNGKey(0))
+            return ls["ins"] + ls["lav"], ls
+        return jax.value_and_grad(f, has_aux=True)(preds)
+
+    (v, ls), g = val_and_grad(preds)
+    assert np.isfinite(float(v))
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert bool(jnp.isfinite(leaf).all())
+
+
 def test_vnl_zero_for_perfect_plane():
     """A depth map that is exactly a fronto-parallel plane with matching GT
     normal must give ~0 planar loss."""
