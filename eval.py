@@ -109,6 +109,15 @@ def parse_args(argv=None):
                         help="Also write predicted seg/depth image panels "
                              "to TensorBoard (reference eval.py:419-426).")
     parser.add_argument("--log_folder", default="./logs/", type=str)
+    parser.add_argument("--metrics_json", default=None, type=str,
+                        help="Write the mAP table + depth metrics as JSON "
+                             "to this path (machine-readable companion of "
+                             "the printed tables; used by "
+                             "tools/closed_loop.py).")
+    parser.add_argument("--cfg_overrides", default=None, type=str,
+                        help="JSON dict of (possibly nested) config "
+                             "overrides applied after --config/--dataset "
+                             "(same surface as train.py).")
     global args
     args = parser.parse_args(argv)
     return args
@@ -395,6 +404,10 @@ def main(argv=None):
     cfg = set_cfg(args.config)
     if args.dataset is not None:
         cfg = set_dataset(cfg, args.dataset)
+    if args.cfg_overrides:
+        import json
+        from planerecnet_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, json.loads(args.cfg_overrides))
 
     cfg = cfg.copy(dict(compute_dtype=args.dtype))
     cfg = apply_nms_overrides(cfg, args)
@@ -408,11 +421,22 @@ def main(argv=None):
     print("done.")
 
     dumper = COCODetectionDumper(dataset) if args.output_coco_json else None
-    evaluate(net, dataset, eval_nums=args.max_images, no_bar=args.no_bar,
-             batch_size=args.batch_size,
-             device_metrics=not args.host_metrics, dumper=dumper)
+    all_maps, depth_means = evaluate(
+        net, dataset, eval_nums=args.max_images, no_bar=args.no_bar,
+        batch_size=args.batch_size,
+        device_metrics=not args.host_metrics, dumper=dumper)
     if dumper is not None:
         dumper.dump(args.bbox_det_file, args.mask_det_file)
+    if args.metrics_json and all_maps is not None:
+        import json
+        payload = {"box": all_maps["box"], "mask": all_maps["mask"],
+                   "depth": {k: float(v) for k, v in
+                             zip(DEPTH_METRICS, depth_means)},
+                   "model": args.trained_model, "config": args.config,
+                   "images": args.max_images}
+        with open(args.metrics_json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"Metrics written to {args.metrics_json}")
 
     if args.autopsy:
         import datetime

@@ -229,7 +229,16 @@ def pad_instances(cfg: PlaneRecNetConfig, instances: Dict,
     h, w = img_hw
     n = min(len(instances["classes"]), n_cap)
     out = {
-        "masks": np.zeros((n_cap, h, w), np.float32),
+        # Binary masks cross the host->device boundary as uint8: the padded
+        # (N_cap, H, W) f32 form dominated the per-step transfer (~210 MB
+        # vs ~52 MB per batch-8 640^2 step); the loss stack casts on device.
+        # The float->uint8 assignment TRUNCATES fractional resize-edge
+        # values — exactly the reference's ``gt_masks.to(torch.uint8)``
+        # before its 1/4 rescale (reference losses.py:243). Divergence:
+        # the reference computes center_of_mass on the pre-truncation float
+        # masks (losses.py:239); here it sees the truncated mask — a
+        # sub-pixel shift that only matters if it crosses a grid-cell edge.
+        "masks": np.zeros((n_cap, h, w), np.uint8),
         "boxes": np.zeros((n_cap, 4), np.float32),
         "classes": np.zeros((n_cap,), np.int32),
         "plane_paras": np.zeros((n_cap, max(
@@ -336,6 +345,14 @@ class PrefetchIterator:
         self.iterable = iterable
         self.buffer_size = buffer_size
         self.to_device = to_device
+        # Occupancy probe (sustained-throughput studies, PERF.md round 4):
+        # sampled at every consumer get; occupancy ~0 means the device waits
+        # on the host loader, ~buffer_size means the loader keeps up.
+        self.occupancy_sum = 0
+        self.occupancy_n = 0
+
+    def mean_occupancy(self) -> float:
+        return self.occupancy_sum / max(self.occupancy_n, 1)
 
     def __iter__(self):
         import queue
@@ -357,6 +374,8 @@ class PrefetchIterator:
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         while True:
+            self.occupancy_sum += q.qsize()
+            self.occupancy_n += 1
             item = q.get()
             if item is sentinel:
                 return

@@ -33,6 +33,9 @@ import jax
 import jax.numpy as jnp
 
 
+_BLOCK = 256
+
+
 def _sample_mask_indices(rng: jax.Array, mask_flat: jnp.ndarray,
                          shape: Tuple[int, ...],
                          hw: Tuple[int, int]
@@ -40,51 +43,54 @@ def _sample_mask_indices(rng: jax.Array, mask_flat: jnp.ndarray,
     """Uniformly sample flat pixel indices from a boolean mask, with
     replacement. Returns (indices, ok) where ok=False iff the mask is empty.
 
-    EXACT two-level inverse-CDF sampler (round 4): (1) pick a row from the
-    row-count CDF (H-entry ``compare_all`` search — VMEM-resident, no while
-    loop); (2) gather the chosen rows' mask bits (a cheap (N, W) row gather
-    — sequential rows, nothing like the DCN corner gathers) and pick a
-    column uniformly among that row's set pixels via a per-query
-    compare-and-count. Marginal law is exactly uniform-over-mask for ANY
-    non-empty mask — including the 1-2 px diagonal strips that defeated the
-    earlier bbox-rejection sampler (a mask filling < ~0.1% of its bounding
-    box could accept zero candidates and silently contribute 0 loss;
-    VERDICT round-3 weak item 5). Cost measured at parity with the
-    rejection sampler on the full train step (PERF.md round 4).
+    EXACT hierarchical inverse-CDF sampler (round 4): the global CDF is
+    evaluated in two levels — (1) a per-256-pixel-block count CDF
+    (H*W/256 entries, ``compare_all`` search: one fused broadcast-compare
+    + reduce on the VPU); (2) gather each query's 256 mask BITS (int8, so a
+    query costs 256 B vs the 2.5 KB f32 row-CDF gather of the first exact
+    sampler — per-element gathers cost ~40x their bytes on TPU and were the
+    whole regression, 355 vs 312 ms/step) and locate the residual count by
+    an in-register cumsum-compare. One uniform integer draw per sample
+    walks the TRUE global inverse CDF, so the marginal law is exactly
+    uniform-over-mask for ANY non-empty mask — including the 1-2 px
+    diagonal strips and fragmented masks that defeated the bbox-rejection
+    sampler (zero-acceptance on masks filling < ~0.1% of their bbox;
+    VERDICT round-3 weak item 5).
 
-    History: the round-1 full-image cumsum + ``jnp.searchsorted`` carried an
-    (N, H*W) s32 CDF through an XLA while loop — ~315 ms of a 533 ms
-    PRN-101 bs=8 step (PERF.md round-2 trace); the round-2/3 bbox-rejection
-    sampler fixed the cost but not thin masks. ``PRN_VNL_SAMPLER=bbox``
-    restores it for A/B runs.
+    History: round-1 carried an (N, H*W) s32 full CDF through an XLA while
+    loop (~315 ms of a 533 ms PRN-101 bs=8 step); round-2/3 used bbox
+    rejection (fast, but silent zero-loss on thin masks;
+    ``PRN_VNL_SAMPLER=bbox`` restores it for A/B runs); the round-4
+    row-CDF exact sampler fixed correctness but gathered full f32 CDF rows.
     """
-    h, w = hw
     n_total = 1
     for s in shape:
         n_total *= s
-    r_row, r_col = jax.random.split(rng)
 
-    m2 = mask_flat.reshape(h, w)
-    row_counts = jnp.sum(m2.astype(jnp.int32), axis=1)          # (H,)
-    row_cdf = jnp.cumsum(row_counts)
-    total = row_cdf[-1]
+    m = mask_flat.astype(jnp.int8)
+    pad = (-m.shape[0]) % _BLOCK
+    if pad:
+        m = jnp.pad(m, (0, pad))                  # zero bits: never sampled
+    nb = m.shape[0] // _BLOCK
+    blocks = m.reshape(nb, _BLOCK)
+    block_counts = jnp.sum(blocks, axis=1, dtype=jnp.int32)     # (NB,)
+    block_cdf = jnp.cumsum(block_counts)
+    total = block_cdf[-1]
     ok = total > 0
 
-    u = jax.random.randint(r_row, shape, 1, jnp.maximum(total, 1) + 1)
-    # compare_all: one fused broadcast-compare + reduce instead of a binary
-    # search — TPU per-element gathers cost ~40x their bytes, while the
-    # O(queries x rows) compare streams on the VPU.
-    row = jnp.searchsorted(row_cdf, u, side="left", method="compare_all")
-    row = jnp.minimum(row, h - 1)
+    u = jax.random.randint(rng, shape, 1, jnp.maximum(total, 1) + 1)
+    blk = jnp.searchsorted(block_cdf, u, side="left",
+                           method="compare_all")                # (*shape,)
+    blk = jnp.minimum(blk, nb - 1)
 
-    rows = m2[row]                                              # (*shape, W)
-    col_cdf = jnp.cumsum(rows.astype(jnp.int32), axis=-1)       # (*shape, W)
-    cnt = col_cdf[..., -1]                                      # >= 1 if ok
-    uf = jax.random.uniform(r_col, shape)
-    u2 = jnp.clip(jnp.floor(uf * cnt).astype(jnp.int32) + 1, 1,
-                  jnp.maximum(cnt, 1))
-    col = jnp.sum((col_cdf < u2[..., None]).astype(jnp.int32), axis=-1)
-    idx = row * w + jnp.minimum(col, w - 1)
+    bits = blocks[blk]                            # (*shape, BLOCK) int8
+    # Residual rank within the block: u_rel in [1, count(blk)] by CDF
+    # construction; the u_rel-th set bit's position is the sampled column.
+    prev = block_cdf[blk] - jnp.sum(bits, axis=-1, dtype=jnp.int32)
+    u_rel = u - prev
+    bit_cdf = jnp.cumsum(bits.astype(jnp.int32), axis=-1)
+    col = jnp.sum((bit_cdf < u_rel[..., None]).astype(jnp.int32), axis=-1)
+    idx = blk * _BLOCK + jnp.minimum(col, _BLOCK - 1)
     return jnp.minimum(idx, mask_flat.shape[0] - 1), ok
 
 

@@ -69,7 +69,15 @@ class PlaneRecNetRunner:
             from planerecnet_tpu.utils.torch_convert import torch_to_flax_file
             self._variables = torch_to_flax_file(path, self.variables)
         else:
-            self._variables = ckpt.load_weights(path)
+            loaded = ckpt.load_weights(path)
+            if "opt_state" in loaded or "step" in loaded:
+                # A full train-state checkpoint (save_train_state): keep the
+                # model collections only — the reference's train checkpoints
+                # are likewise consumed directly by eval
+                # (reference eval.py:411-416 on train.py-saved .pth files).
+                loaded = {"params": loaded["params"],
+                          "batch_stats": loaded.get("batch_stats", {})}
+            self._variables = loaded
         self._jitted.clear()
 
     # ---------------- inference ----------------

@@ -152,6 +152,17 @@ def enable_tpu_compile_cache(cache_dir: Optional[str] = None) -> bool:
     """
     import jax
 
+    # Central platform override for subprocess-driven CLIs (every CLI calls
+    # this hook first): plain JAX_PLATFORMS is overridden by the
+    # out-of-process TPU plugin on this deployment, so forcing the backend
+    # (e.g. PRN_PLATFORM=cpu for the closed-loop CPU test / multi-host
+    # workers) must happen in-process before first backend use.
+    if os.environ.get("PRN_PLATFORM"):
+        try:
+            jax.config.update("jax_platforms", os.environ["PRN_PLATFORM"])
+        except Exception:
+            pass
+
     try:
         if jax.default_backend() != "tpu":
             return False

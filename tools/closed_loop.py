@@ -1,0 +1,171 @@
+"""Synthetic-scene train-to-eval closed loop (VERDICT round-3 task 1).
+
+Orchestrates the full product surface end to end on exact-GT procedural
+data: generate (tools/synth_scenes.py) -> train (train.py, subprocess, the
+real CLI) -> evaluate every checkpoint (eval.py --metrics_json) -> print a
+learning-curve table of mask/box AP and depth metrics per checkpoint.
+
+This is the only available proof, in a zero-egress environment with no
+ScanNet data or released weights, that the GT assignment + losses +
+optimizer stack actually LEARNS the task (reference behavior matched:
+train.py:216-412 + eval.py:63-130 producing Table-2-shaped metrics): mask
+AP50 must rise clearly above chance and depth abs_rel/RMSE must improve
+across checkpoints. The miniature CPU version is wired as a slow test
+(tests/test_closed_loop.py); the full-scale PRN-50 run on the TPU chip is
+recorded in PERF.md round 4.
+
+Usage (full-scale, on the chip, from an empty workdir):
+  python tools/closed_loop.py --workdir /tmp/synth_ws \
+      --config PlaneRecNet_50_config --batch_size 8 --iters 6000 \
+      --ckpt_every 1000 --eval_images 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+from typing import Dict, List, Optional
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_cli(script: str, cli_args: List[str], cwd: str, log_path: str,
+            env_extra: Optional[dict] = None) -> None:
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    cmd = [sys.executable, "-u", osp.join(REPO, script)] + cli_args
+    print(f"$ {' '.join(cmd[1:])}\n  (log: {log_path})", flush=True)
+    with open(log_path, "w") as log:
+        code = subprocess.call(cmd, cwd=cwd, stdout=log,
+                               stderr=subprocess.STDOUT, env=env)
+    if code != 0:
+        with open(log_path) as f:
+            sys.stdout.writelines(f.readlines()[-25:])
+        raise SystemExit(f"{script} failed with exit code {code}")
+
+
+def checkpoints_by_iter(weights_dir: str, cfg_name: str) -> List[tuple]:
+    from planerecnet_tpu.utils.utils import SavePath
+    out = []
+    for fname in os.listdir(weights_dir):
+        if not fname.endswith(".npz") or "interrupt" in fname:
+            continue
+        sp = SavePath.from_str(osp.join(weights_dir, fname))
+        if sp.model_name == cfg_name:
+            out.append((sp.iteration, osp.join(weights_dir, fname)))
+    return sorted(out)
+
+
+def main(argv=None) -> Dict:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--config", default="PlaneRecNet_50_config")
+    p.add_argument("--train_images", type=int, default=1600)
+    p.add_argument("--val_images", type=int, default=200)
+    p.add_argument("--eval_gen_images", type=int, default=200)
+    p.add_argument("--size", type=int, default=640)
+    p.add_argument("--iters", type=int, default=6000)
+    p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--eval_images", type=int, default=100,
+                   help="images per checkpoint evaluation")
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--cfg_overrides", default=None, type=str,
+                   help="extra JSON config overrides for train AND eval")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX backend in the child CLIs "
+                        "(PRN_PLATFORM; 'cpu' for the miniature test)")
+    p.add_argument("--n_devices", default=None, type=int,
+                   help="forwarded to train.py (the miniature CPU test "
+                        "pins 1 so an inherited virtual-device XLA_FLAGS "
+                        "doesn't shard the tiny batch)")
+    p.add_argument("--skip_train", action="store_true",
+                   help="only (re-)evaluate existing checkpoints")
+    p.add_argument("--score_threshold", default=None, type=float,
+                   help="eval NMS score threshold override")
+    args = p.parse_args(argv)
+
+    workdir = osp.abspath(args.workdir)
+    os.makedirs(workdir, exist_ok=True)
+    env_extra = {"PRN_PLATFORM": args.platform} if args.platform else {}
+
+    # 1. dataset (skipped when the scannet tree already exists)
+    if not osp.exists(osp.join(workdir, "scannet", "scannet_train.json")):
+        from tools.synth_scenes import generate_dataset
+        print("Generating synthetic planar-scene dataset...", flush=True)
+        generate_dataset(workdir, args.train_images, args.val_images,
+                         args.eval_gen_images, h=args.size, w=args.size,
+                         min_area=int(600 * (args.size / 640) ** 2) or 60)
+
+    overrides = {"max_iter": args.iters}
+    if args.cfg_overrides:
+        overrides.update(json.loads(args.cfg_overrides))
+
+    weights = osp.join(workdir, "weights")
+    os.makedirs(weights, exist_ok=True)
+
+    # 2. train through the real CLI
+    if not args.skip_train:
+        train_args = ["--config", args.config,
+                      "--cfg_overrides", json.dumps(overrides),
+                      "--save_folder", weights + "/",
+                      "--batch_size", str(args.batch_size),
+                      "--save_interval", str(args.ckpt_every),
+                      "--validation_epoch", "0", "--no_tensorboard",
+                      "--no_autoscale", "--reproductablity"]
+        if args.dtype:
+            train_args += ["--dtype", args.dtype]
+        if args.n_devices is not None:
+            train_args += ["--n_devices", str(args.n_devices)]
+        run_cli("train.py", train_args, workdir,
+                osp.join(workdir, "train.log"), env_extra)
+
+    # 3. evaluate every checkpoint
+    from planerecnet_tpu.config import set_cfg
+    cfg_name = set_cfg(args.config).name
+    ckpts = checkpoints_by_iter(weights, cfg_name)
+    if not ckpts:
+        raise SystemExit(f"no checkpoints found in {weights}")
+    curve = []
+    for it, path in ckpts:
+        mpath = osp.join(workdir, f"metrics_{it}.json")
+        eval_args = ["--config", args.config,
+                     "--trained_model", path,
+                     "--max_images", str(args.eval_images),
+                     "--metrics_json", mpath, "--no_bar", "--seed", "0"]
+        if args.cfg_overrides:
+            eval_args += ["--cfg_overrides", args.cfg_overrides]
+        if args.score_threshold is not None:
+            eval_args += ["--score_threshold", str(args.score_threshold)]
+        run_cli("eval.py", eval_args, workdir,
+                osp.join(workdir, f"eval_{it}.log"), env_extra)
+        with open(mpath) as f:
+            m = json.load(f)
+        curve.append({"iter": it, "mask_ap50": m["mask"]["50"],
+                      "mask_ap": m["mask"]["all"],
+                      "box_ap50": m["box"]["50"],
+                      "abs_rel": m["depth"]["abs_rel"],
+                      "rmse": m["depth"]["rmse"], "a1": m["depth"]["a1"]})
+
+    # 4. learning-curve table
+    print("\n  iter | mask AP50 | mask AP | box AP50 | abs_rel |  rmse |"
+          "    a1")
+    for row in curve:
+        print(f"{row['iter']:6d} | {row['mask_ap50']:9.2f} | "
+              f"{row['mask_ap']:7.2f} | {row['box_ap50']:8.2f} | "
+              f"{row['abs_rel']:7.4f} | {row['rmse']:5.3f} | "
+              f"{row['a1']:5.3f}")
+    summary = {"config": args.config, "iters": args.iters, "curve": curve}
+    with open(osp.join(workdir, "closed_loop.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\nSummary written to {osp.join(workdir, 'closed_loop.json')}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -365,7 +365,9 @@ def main(argv=None):
                         for k in LOSS_TYPES if len(loss_avgs[k]))
                     print(f"[{epoch:3d}] {iteration:7d} || {parts} || "
                           f"T: {loss_avgs['total'].get_avg():.3f} || "
-                          f"ETA: {eta_str}", flush=True)
+                          f"ETA: {eta_str} || "
+                          f"{time_avg.get_avg() * 1000:.0f} ms/it "
+                          f"q: {loader.mean_occupancy():.2f}", flush=True)
                 if writer is not None and iteration % 5000 == 0 \
                         and iteration > 0:
                     log_visual_example(cfg, state, writer, iteration)
