@@ -370,9 +370,12 @@ class PlaneRecNetConfig(_FrozenBase):
     fused_loss_kernel: str = "auto"
 
     # Rematerialize backbone blocks under autodiff (jax.checkpoint): trades
-    # ~30% backward FLOPs for activation memory so the reference's bs=8
-    # 640x640 training fits one 16GB v5e chip. Free at inference (no grad).
-    remat_backbone: bool = True
+    # ~30% backward FLOPs for activation memory. "auto" (default) remats
+    # only when the activation footprint exceeds the measured-fitting
+    # reference point — bf16 bs=8 640x640 runs WITHOUT remat on one 16GB
+    # v5e chip at 308.9 ms/iter vs 355.6 rematted (13% faster, PERF.md
+    # round 4); f32 doubles activations and keeps remat. True/False force.
+    remat_backbone: object = "auto"
 
 
 PlaneRecNet_base_config = PlaneRecNetConfig()

@@ -61,8 +61,17 @@ class PlaneRecNet(nn.Module):
         # end-to-end), "rows" when gradients will flow — keyed on the REAL
         # train flag, not bn_train (freeze_bn still trains weights).
         gm = default_gather_mode(train)
+        remat = cfg.remat_backbone
+        if remat == "auto":
+            # Remat only when the activation footprint exceeds the measured
+            # fitting point: bf16 bs=8 640x640 trains WITHOUT remat on a
+            # 16GB v5e at 308.9 ms/iter vs 355.6 rematted (PERF.md round
+            # 4); f32 doubles activation bytes and keeps remat on.
+            itemsize = 2 if dtype == jnp.bfloat16 else 4
+            act_bytes = x.shape[0] * x.shape[1] * x.shape[2] * itemsize
+            remat = train and act_bytes > 8 * 640 * 640 * 2
         backbone = construct_backbone(cfg.backbone, dtype=dtype,
-                              remat=cfg.remat_backbone,
+                              remat=bool(remat),
                               dcn_gather_mode=gm)
         feats_enc = backbone.copy(name="backbone")(x, train=bn_train)
 

@@ -66,8 +66,13 @@ def main():
     p.add_argument("--iters", default=20, type=int)
     p.add_argument("--warmup", default=2, type=int,
                    help="untimed steps after compile (cold caches)")
+    p.add_argument("--remat", default=None,
+                   choices=[None, "auto", "on", "off"],
+                   help="override cfg.remat_backbone (default: config "
+                        "'auto' policy — no remat when bf16 bs<=8 640^2 "
+                        "fits; PERF.md round 4)")
     p.add_argument("--no_remat", action="store_true",
-                   help="disable backbone rematerialisation (bf16 halves "
+                   help="shorthand for --remat off (bf16 halves "
                         "activation memory, so the step may fit without it)")
     p.add_argument("--no_dcn", action="store_true",
                    help="ablation: plain-conv backbone (isolates the DCN "
@@ -114,7 +119,12 @@ def main():
 
     cfg = set_cfg(args.config).copy(dict(
         compute_dtype=args.dtype,
-        remat_backbone=not args.no_remat))
+        ))
+    if args.no_remat:
+        args.remat = "off"
+    if args.remat is not None:
+        cfg = cfg.copy(dict(remat_backbone={
+            "auto": "auto", "on": True, "off": False}[args.remat]))
     if args.fused_loss is not None:
         cfg = cfg.copy(dict(fused_loss_kernel=args.fused_loss))
     if args.no_dcn:
