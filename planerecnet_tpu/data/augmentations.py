@@ -31,14 +31,27 @@ from planerecnet_tpu.config import MEANS, STD, PlaneRecNetConfig
 class SSDAugmentation:
     """Train-time chain (reference data/augmentations.py:464-481):
     photometric -> mirror -> flip -> [rot90] -> [motion blur] -> [noise]
-    -> square resize -> normalise + BGR->RGB."""
+    -> square resize -> normalise + BGR->RGB.
+
+    With ``device_normalize`` (default) the final normalise + channel swap
+    moves ONTO the device (``trainer.unpack_wire_batch``) and the host
+    ships the augmented image as u8 BGR — 4x less host->device transfer,
+    the training bottleneck on a remote-attached chip (PERF.md round 4).
+    Divergence from the reference (documented): photometric distortion can
+    push values outside [0, 255] (the reference normalises them unclipped,
+    data/augmentations.py:359-394); the u8 wire form clips+rounds to the
+    sensor range. Set ``device_normalize=False`` for the reference-exact
+    f32 path.
+    """
 
     def __init__(self, cfg: PlaneRecNetConfig, mean=MEANS, std=STD,
-                 rng: Optional[np.random.RandomState] = None):
+                 rng: Optional[np.random.RandomState] = None,
+                 device_normalize: bool = True):
         self.cfg = cfg
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.rng = rng if rng is not None else np.random.RandomState()
+        self.device_normalize = device_normalize
 
     def __call__(self, img, depth, masks, boxes, labels, plane_paras):
         cfg, rng = self.cfg, self.rng
@@ -60,7 +73,10 @@ class SSDAugmentation:
             img = random_gaussian_noise(img, rng)
         img, depth, masks, boxes, labels, plane_paras = resize_square(
             cfg, img, depth, masks, boxes, labels, plane_paras)
-        img = backbone_transform(cfg, img, self.mean, self.std)
+        if self.device_normalize:
+            img = np.clip(np.round(img), 0, 255).astype(np.uint8)  # BGR u8
+        else:
+            img = backbone_transform(cfg, img, self.mean, self.std)
         return img, depth, masks, boxes, labels, plane_paras
 
 

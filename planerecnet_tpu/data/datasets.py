@@ -149,7 +149,11 @@ class PlaneAnnoDataset:
             "k_matrix": k_matrix.astype(np.float32),
         }
         depth_m = depth[..., None] * (cfg.dataset.depth_resolution or 1.0)
-        return img.astype(np.float32), instances, depth_m.astype(np.float32)
+        # Keep the transform's dtype: SSDAugmentation(device_normalize=True)
+        # emits u8 wire images (normalisation happens on device).
+        if img.dtype != np.uint8:
+            img = img.astype(np.float32)
+        return img, instances, depth_m.astype(np.float32)
 
 
 class ScanNetDataset(PlaneAnnoDataset):
@@ -259,17 +263,37 @@ def pad_instances(cfg: PlaneRecNetConfig, instances: Dict,
 
 
 def collate_batch(cfg: PlaneRecNetConfig, samples: List) -> Dict[str, np.ndarray]:
-    """Stack padded samples into the fixed-shape batch dict consumed by
-    ``compute_losses`` (replaces reference detection_collate,
-    datasets.py:250-273)."""
+    """Stack padded samples into the fixed-shape WIRE batch dict; the
+    trainer's ``unpack_wire_batch`` restores the dense form on device
+    before ``compute_losses`` (replaces reference detection_collate,
+    datasets.py:250-273).
+
+    Wire format (host->device transfer is the sustained-throughput
+    bottleneck on a remote-attached chip — measured ~30 MB/s through this
+    deployment's tunnel, PERF.md round 4):
+      * ``masks_packed``: binary GT masks bit-packed along W
+        (``np.packbits``) — 8x smaller than the u8 dense form, 32x
+        smaller than f32; device unpack is a shift-and-mask.
+      * ``depth_q``: u16 depth in ``depth_resolution`` units — LOSSLESS
+        for datasets read from 16-bit PNGs at that resolution (ScanNet
+        convention); augmentation-interpolated values round to half a
+        unit (0.5 mm).
+      * ``image``: u8 BGR when the transform defers normalisation to the
+        device (SSDAugmentation), f32 otherwise (eval transforms).
+    """
     imgs, insts, depths = zip(*samples)
     h, w = imgs[0].shape[:2]
     padded = [pad_instances(cfg, i, (h, w)) for i in insts]
+    depth = np.stack(depths)
+    res = cfg.dataset.depth_resolution or 1e-3
     batch = {
         "image": np.stack(imgs),
-        "depth": np.stack(depths),
+        "depth_q": np.clip(np.round(depth / res), 0, 65535).astype(
+            np.uint16),
     }
-    for key in ("masks", "boxes", "classes", "plane_paras", "gt_valid",
+    masks = np.stack([p["masks"] for p in padded])
+    batch["masks_packed"] = np.packbits(masks, axis=-1)
+    for key in ("boxes", "classes", "plane_paras", "gt_valid",
                 "k_matrix"):
         batch[key] = np.stack([p[key] for p in padded])
     # The loss consumes 4-vector plane params (normal + offset); S2D3DS

@@ -124,10 +124,50 @@ def create_train_state(cfg: PlaneRecNetConfig, rng: jax.Array,
         batch_stats=batch_stats, rng=state_rng)
 
 
+def unpack_wire_batch(cfg: PlaneRecNetConfig, batch: Dict) -> Dict:
+    """Device-side inverse of ``collate_batch``'s compact wire format
+    (host->device transfer is the sustained-training bottleneck on a
+    remote-attached chip; see ``data/datasets.py::collate_batch``).
+
+    All three unpacks trace into the jitted step, so they cost VPU cycles
+    instead of tunnel bandwidth. Passes dense batches through unchanged
+    (synthetic-batch tools and direct ``compute_losses`` callers keep the
+    dense contract).
+    """
+    batch = dict(batch)
+    if "masks_packed" in batch:
+        packed = batch.pop("masks_packed")            # (B, N, H, ceil(W/8))
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+        w = batch["image"].shape[2]
+        batch["masks"] = bits.reshape(*packed.shape[:-1],
+                                      packed.shape[-1] * 8)[..., :w]
+    if "depth_q" in batch:
+        res = cfg.dataset.depth_resolution or 1e-3
+        batch["depth"] = batch.pop("depth_q").astype(jnp.float32) * res
+    if batch["image"].dtype == jnp.uint8:
+        # SSDAugmentation(device_normalize=True) ships u8 BGR; apply the
+        # backbone transform here (augmentations.py::backbone_transform).
+        from planerecnet_tpu.config import MEANS, STD
+        t = cfg.backbone.transform
+        img = batch["image"].astype(jnp.float32)
+        if t.normalize:
+            img = (img - jnp.asarray(MEANS)) / jnp.asarray(STD)
+        elif t.subtract_means:
+            img = img - jnp.asarray(MEANS)
+        elif t.to_float:
+            img = img / 255.0
+        if t.channel_order == "RGB":
+            img = img[..., ::-1]
+        batch["image"] = img
+    return batch
+
+
 def grad_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
               ) -> Tuple[Dict, Any, Dict[str, jnp.ndarray]]:
     """Forward + joint loss + backward: returns (grads, new_batch_stats,
     losses). ``cfg`` must be a static (hashable) argument."""
+    batch = unpack_wire_batch(cfg, batch)
     step_rng = jax.random.fold_in(state.rng, state.step)
 
     def loss_fn(params):
@@ -177,8 +217,10 @@ def train_step(state: TrainState, batch: Dict, cfg: PlaneRecNetConfig
 
 
 # Batch keys with an image-height axis shardable over the 'spatial' mesh
-# dimension (2-D data x spatial training): key -> axis index.
-_SPATIAL_AXES = {"image": 1, "depth": 1, "masks": 2}
+# dimension (2-D data x spatial training): key -> axis index. Wire-format
+# keys keep H on the same axis (masks pack along W, depth quantizes).
+_SPATIAL_AXES = {"image": 1, "depth": 1, "masks": 2,
+                 "depth_q": 1, "masks_packed": 2}
 
 
 def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None,

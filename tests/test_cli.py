@@ -166,7 +166,10 @@ def test_train_non_main_process_writes_nothing(tmp_path, monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
 
-    train.main(_train_args(tmp_path))
+    # --reproductablity: a deterministic seed skips the broadcast collective
+    # (which cannot run under a monkeypatched process_count; the REAL
+    # 2-process broadcast path is covered by tests/test_multihost.py)
+    train.main(_train_args(tmp_path, ["--reproductablity"]))
 
     weights = tmp_path / "weights"
     saved = [p for p in weights.iterdir()] if weights.exists() else []

@@ -118,20 +118,31 @@ def test_train_augmentation_and_collate(scannet_root):
     aug = SSDAugmentation(cfg, rng=np.random.RandomState(3))
     ds = build_dataset(cfg, "train", transform=aug)
     batch = next(iter(BatchIterator(cfg, ds, batch_size=2, seed=0)))
+    # compact wire format (PERF.md round 4): u8 image, bit-packed masks,
+    # u16 depth; unpack_wire_batch restores the dense contract on device
     assert batch["image"].shape == (2, 64, 64, 3)
-    assert batch["depth"].shape == (2, 64, 64, 1)
-    assert batch["masks"].shape == (2, 4, 64, 64)
+    assert batch["image"].dtype == np.uint8
+    assert batch["depth_q"].shape == (2, 64, 64, 1)
+    assert batch["depth_q"].dtype == np.uint16
+    assert batch["masks_packed"].shape == (2, 4, 64, 8)
     assert batch["boxes"].shape == (2, 4, 4)
     assert batch["gt_valid"].shape == (2, 4)
     assert batch["plane_paras"].shape == (2, 4, 4)
     assert batch["k_matrix"].shape == (2, 3, 3)
     assert batch["gt_valid"].any()
-    # masks stay binary-ish after cv2 resize
-    assert batch["masks"].max() <= 1.0 + 1e-6
 
-    # feeds the loss end-to-end
     import jax
     from planerecnet_tpu.losses import compute_losses
+    from planerecnet_tpu.trainer import unpack_wire_batch
+    dense = unpack_wire_batch(cfg, batch)
+    assert dense["image"].dtype == np.float32
+    assert dense["depth"].shape == (2, 64, 64, 1)
+    assert dense["masks"].shape == (2, 4, 64, 64)
+    # masks stay binary after pack/unpack
+    assert int(jax.numpy.max(dense["masks"])) <= 1
+    batch = dense
+
+    # feeds the loss end-to-end
     sv = cfg.solov2
     rng = np.random.RandomState(0)
     preds = {

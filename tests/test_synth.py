@@ -97,4 +97,4 @@ def test_train_transform_chain_runs(synth_root):
     batch = collate_batch(cfg, [ds[0], ds[1]])
     assert batch["image"].shape == (2, 64, 64, 3)
     assert batch["gt_valid"].any()
-    assert np.isfinite(batch["depth"]).all()
+    assert np.isfinite(batch["depth_q"]).all()

@@ -183,11 +183,13 @@ def main(argv=None):
 
     os.makedirs(args.save_folder, exist_ok=True)
     seed = 42 if args.reproductablity else int(time.time()) % (2 ** 31)
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not args.reproductablity:
         # Every process must agree on the seed: it drives the shared batch
         # permutation (BatchIterator disjoint shards), augmentation RNG and
         # the parameter init — clock-derived per-process seeds would desync
-        # all three.
+        # all three. A --reproductablity seed is already identical
+        # everywhere, so no collective is needed (this also keeps the
+        # deterministic path usable before collectives initialise).
         from jax.experimental import multihost_utils
         seed = int(multihost_utils.broadcast_one_to_all(
             np.int32(seed % (2 ** 31))))
