@@ -156,6 +156,14 @@ def default_gather_mode(train: bool) -> str:
     return "rows" if train else "patch"
 
 
+# Experiment knobs (PERF.md round 4; defaults = the measured round-3 policy):
+#   PRN_DCN_IDX16=1       s16 gather indices where they fit (halves index
+#                         traffic; only helps if XLA doesn't upcast).
+#   mode "mix:<R>"        per-LAYER gather policy: patch when the layer's
+#                         sample count Ho*Wo*K <= R, rows otherwise.
+DCN_IDX16 = _os.environ.get("PRN_DCN_IDX16") == "1"
+
+
 def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
                      sy: jnp.ndarray, sx: jnp.ndarray,
                      gather_mode: Optional[str] = None) -> jnp.ndarray:
@@ -163,11 +171,18 @@ def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
     zero out-of-bounds semantics (torchvision deform_conv2d convention).
     Returns (B, R, C)."""
     y0, x0, ws, ids, _ = _corner_data(sy, sx, h, w)
-    if (gather_mode or CORNER_GATHER) == "patch":
+    mode = gather_mode or CORNER_GATHER
+    if mode.startswith("mix:"):
+        mode = "patch" if sy.shape[1] <= int(mode[4:]) else "rows"
+    if mode == "patch":
         b = x_flat.shape[0]
+        if DCN_IDX16 and max(h, w) + 2 < 2 ** 15:
+            y0, x0 = y0.astype(jnp.int16), x0.astype(jnp.int16)
         corners = _gather_patches(
             x_flat.reshape(b, h, w, -1), y0, x0)      # (B, R, 4, C)
     else:
+        if DCN_IDX16 and h * w < 2 ** 15:
+            ids = ids.astype(jnp.int16)
         corners = _gather_corners(x_flat, ids)        # (B, R, 4, C)
     return jnp.sum(corners * ws[..., None].astype(corners.dtype), axis=2)
 
