@@ -159,6 +159,26 @@ def _form_triplets(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(pw, (1, 2, 0))    # (M, 3xyz, 3pts)
 
 
+def _form_triplets_from_depth(depth_flat: jnp.ndarray, idx: jnp.ndarray,
+                              fx: jnp.ndarray, fy: jnp.ndarray,
+                              u0: float, v0: float, w: int) -> jnp.ndarray:
+    """``_form_triplets(_point_cloud(depth), idx)`` with the back-projection
+    moved AFTER the gather: gathers 1 depth value per sample instead of a
+    3-vector point, so the backward scatters 1/3 the data into (H*W,)
+    instead of (H*W, 3) and the (H*W, 3) point cloud is never
+    materialised — the VNL backward scatter was ~8 ms of the round-4
+    train step (PERF.md). Identical math: x=(u-u0)|d|/fx, y=(v-v0)|d|/fy
+    recompute from the integer pixel ids (reference vnl.py:34-41).
+    ``idx``: (3, M) flat pixel ids. Returns (M, 3xyz, 3pts).
+    """
+    d = depth_flat[idx]                                 # (3, M)
+    ad = jnp.abs(d)
+    u = (idx % w).astype(jnp.float32) - u0
+    v = (idx // w).astype(jnp.float32) - v0
+    pw = jnp.stack([u * ad / fx, v * ad / fy, d], axis=1)   # (3pts, 3xyz, M)
+    return jnp.transpose(pw, (2, 1, 0))                 # (M, 3xyz, 3pts)
+
+
 def _filter_mask(pw: jnp.ndarray, delta_z: float,
                  delta_cos: float = 0.985,
                  delta_diff: float = 0.005) -> jnp.ndarray:
@@ -281,12 +301,13 @@ def vnl_loss_single(rng: jax.Array,
     fy = k_matrix[1, 1]
     u0, v0 = w // 2, h // 2
 
-    pred_pc = _point_cloud(pred_depth, fx, fy, u0, v0)        # (H*W, 3)
+    pred_depth_flat = pred_depth.reshape(-1)                  # (H*W,)
     masks_flat = gt_masks.reshape(n, -1)
 
     def per_plane(rng_i, mask_i, normal_i, valid_i):
         idx, ok = _SAMPLER(rng_i, mask_i, (3, num_samples), (h, w))
-        pw = _form_triplets(pred_pc, idx)
+        pw = _form_triplets_from_depth(pred_depth_flat, idx, fx, fy,
+                                       u0, v0, w)
         tri_valid = _filter_mask(pw, delta_z) & ok & valid_i
         dt_normal = _normals(pw)
         loss = 1.0 - _cos_abs(dt_normal, normal_i[None, :])
@@ -306,11 +327,12 @@ def vnl_loss_single(rng: jax.Array,
     if np_mask is None:
         np_mask = ~jnp.any(
             gt_masks & gt_valid[:, None, None], axis=0).reshape(-1)
-    gt_pc = _point_cloud(gt_depth, fx, fy, u0, v0)
     idx, np_ok = _SAMPLER(rngs[n], np_mask, (3, num_samples), (h, w))
-    pw_gt = _form_triplets(gt_pc, idx)
+    pw_gt = _form_triplets_from_depth(gt_depth.reshape(-1), idx, fx, fy,
+                                      u0, v0, w)
     tri_valid = _filter_mask(pw_gt, delta_z, delta_diff=0.1) & np_ok
-    pw_pred = _form_triplets(pred_pc, idx)
+    pw_pred = _form_triplets_from_depth(pred_depth_flat, idx, fx, fy,
+                                        u0, v0, w)
     z = pw_pred[:, 2, :]
     pw_pred = pw_pred.at[:, 2, :].set(jnp.where(z == 0, 1e-4, z))
     gt_normal = _normals(pw_gt)

@@ -119,3 +119,22 @@ def test_thin_strip_plane_contributes_loss():
     assert float(loss) > 0.05, (
         "thin-strip plane should contribute a real penalty, got "
         f"{float(loss)}")
+
+
+def test_depth_gather_triplets_match_point_cloud_form():
+    """The depth-gather triplet form (backward scatters 1/3 the data) is
+    bit-equal to gathering from the materialised point cloud."""
+    from planerecnet_tpu.losses.vnl import (_form_triplets,
+                                            _form_triplets_from_depth,
+                                            _point_cloud)
+    rng = np.random.RandomState(0)
+    h, w = 24, 17
+    depth = jnp.asarray(rng.rand(h, w).astype(np.float32) * 4 - 0.5)
+    fx = jnp.float32(50.0)
+    fy = jnp.float32(55.0)
+    u0, v0 = w // 2, h // 2
+    idx = jnp.asarray(rng.randint(0, h * w, size=(3, 64)), jnp.int32)
+    ref = _form_triplets(_point_cloud(depth, fx, fy, u0, v0), idx)
+    new = _form_triplets_from_depth(depth.reshape(-1), idx, fx, fy,
+                                    u0, v0, w)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
