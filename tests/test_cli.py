@@ -208,6 +208,27 @@ def test_train_main_process_saves_and_interrupt(tmp_path, monkeypatch):
     assert interrupt and "interrupt" in interrupt
 
 
+def test_train_host_rss_guard_checkpoints_and_exits_75(tmp_path,
+                                                       monkeypatch):
+    """With --max_host_rss_gb below the process footprint the guard must
+    checkpoint after the first completed iteration and exit with the
+    recycle code 75, and --resume latest must find that checkpoint
+    (the supervisor contract used by tools/closed_loop.py to survive the
+    remote-TPU PJRT host-transfer leak, PERF.md round 4)."""
+    import pytest
+    import train
+    from planerecnet_tpu.utils import SavePath
+
+    cfg = _train_cfg(tmp_path)
+    monkeypatch.setattr(train, "set_cfg", lambda name: cfg)
+    with pytest.raises(SystemExit) as exc:
+        train.main(_train_args(tmp_path, ["--max_host_rss_gb", "0.001"]))
+    assert exc.value.code == train.RECYCLE_EXIT_CODE
+    latest = SavePath.get_latest(str(tmp_path / "weights") + "/", cfg.name)
+    assert latest is not None
+    assert SavePath.from_str(latest).iteration == 1
+
+
 def test_evaluate_batched_matches_batch1(tmp_path):
     """evaluate(batch_size=2) must reproduce the batch-1 metrics exactly
     (tail padding discarded; per-image bookkeeping unchanged)."""

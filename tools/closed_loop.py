@@ -34,15 +34,20 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_cli(script: str, cli_args: List[str], cwd: str, log_path: str,
-            env_extra: Optional[dict] = None) -> None:
+def run_cli_code(script: str, cli_args: List[str], cwd: str, log_path: str,
+                 env_extra: Optional[dict] = None) -> int:
     env = dict(os.environ)
     env.update(env_extra or {})
     cmd = [sys.executable, "-u", osp.join(REPO, script)] + cli_args
     print(f"$ {' '.join(cmd[1:])}\n  (log: {log_path})", flush=True)
     with open(log_path, "w") as log:
-        code = subprocess.call(cmd, cwd=cwd, stdout=log,
+        return subprocess.call(cmd, cwd=cwd, stdout=log,
                                stderr=subprocess.STDOUT, env=env)
+
+
+def run_cli(script: str, cli_args: List[str], cwd: str, log_path: str,
+            env_extra: Optional[dict] = None) -> None:
+    code = run_cli_code(script, cli_args, cwd, log_path, env_extra)
     if code != 0:
         with open(log_path) as f:
             sys.stdout.writelines(f.readlines()[-25:])
@@ -88,6 +93,15 @@ def main(argv=None) -> Dict:
                    help="only (re-)evaluate existing checkpoints")
     p.add_argument("--score_threshold", default=None, type=float,
                    help="eval NMS score threshold override")
+    p.add_argument("--max_host_rss_gb", default=90.0, type=float,
+                   help="forwarded to train.py's host-RSS guard; when the "
+                        "remote-TPU PJRT transfer leak (PERF.md round 4) "
+                        "drives RSS past this, train.py checkpoints and "
+                        "exits 75 and the loop relaunches it with "
+                        "--resume latest (0 disables)")
+    p.add_argument("--max_recycles", default=8, type=int,
+                   help="max train.py relaunches on exit code 75 (RSS "
+                        "guard) or SIGKILL -9 (kernel OOM)")
     args = p.parse_args(argv)
 
     workdir = osp.abspath(args.workdir)
@@ -122,8 +136,28 @@ def main(argv=None) -> Dict:
             train_args += ["--dtype", args.dtype]
         if args.n_devices is not None:
             train_args += ["--n_devices", str(args.n_devices)]
-        run_cli("train.py", train_args, workdir,
-                osp.join(workdir, "train.log"), env_extra)
+        if args.max_host_rss_gb > 0:
+            train_args += ["--max_host_rss_gb", str(args.max_host_rss_gb)]
+        # Supervise the real CLI: the PJRT host-transfer leak on the remote
+        # tunnel makes long runs exceed host memory, so train.py is
+        # relaunched with --resume latest whenever it recycles itself
+        # (exit 75, checkpoint written) or the kernel OOM-kills it (-9,
+        # resumes from the last periodic checkpoint).
+        for attempt in range(args.max_recycles + 1):
+            extra = ["--resume", "latest"] if attempt else []
+            log_name = "train.log" if attempt == 0 else f"train_r{attempt}.log"
+            code = run_cli_code("train.py", train_args + extra, workdir,
+                                osp.join(workdir, log_name), env_extra)
+            if code == 0:
+                break
+            if code in (75, -9) and attempt < args.max_recycles:
+                print(f"train.py exited {code}; relaunching with "
+                      f"--resume latest ({attempt + 1}/{args.max_recycles})",
+                      flush=True)
+                continue
+            with open(osp.join(workdir, log_name)) as f:
+                sys.stdout.writelines(f.readlines()[-25:])
+            raise SystemExit(f"train.py failed with exit code {code}")
 
     # 3. evaluate every checkpoint
     from planerecnet_tpu.config import set_cfg

@@ -28,6 +28,27 @@ from planerecnet_tpu.utils.checkpoint import (load_train_state,
 LOSS_TYPES = ["ins", "lav", "cat", "dpt", "pln"]
 args = None
 
+# Exit code requesting a process recycle: the host-RSS guard checkpointed
+# and exited cleanly because host memory crossed --max_host_rss_gb.
+# tools/closed_loop.py relaunches train.py with --resume latest on this
+# code. Motivation: the remote-TPU PJRT plugin leaks host memory on every
+# host-to-device transfer (measured in PERF.md round 4 — the leak persists
+# with reused buffers, after malloc_trim, and via the device-to-device
+# path), so long runs on the tunnel must recycle the process before the
+# kernel OOM-killer does it for them (SIGKILL loses up to save_interval
+# iterations; the guard loses none).
+RECYCLE_EXIT_CODE = 75
+
+
+def host_rss_gb() -> float:
+    """Current resident-set size of this process in GiB (Linux)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 2**30
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
 
 def compute_validation_metrics(cfg, state, eval_nums, no_bar=True):
     """Per-epoch validation via the eval stack (reference train.py:396-402,
@@ -129,6 +150,13 @@ def parse_args(argv=None):
                              " PRN_NUM_PROCESSES / PRN_PROCESS_ID / "
                              "PRN_PLATFORM when set — tools/run_multihost.py"
                              " launches local N-process runs this way.")
+    parser.add_argument("--max_host_rss_gb", default=0.0, type=float,
+                        help="Host-RSS guard: when >0 and the process RSS "
+                             "crosses this many GiB, checkpoint and exit "
+                             "with code 75 so a supervisor can relaunch "
+                             "with --resume latest (works around the "
+                             "remote-TPU PJRT host-transfer leak, PERF.md "
+                             "round 4; 0 disables).")
     parser.add_argument("--cfg_overrides", default=None, type=str,
                         help="JSON dict of (possibly nested) config "
                              "overrides applied after --config/--dataset, "
@@ -387,6 +415,24 @@ def main(argv=None):
                     print(f"Saving state, iter: {iteration}")
                     latest_saved = save_path(epoch, iteration)
                     save_train_state(latest_saved, state)
+
+                # Host-RSS guard (see RECYCLE_EXIT_CODE above): checkpoint
+                # and exit 75 before the kernel OOM-killer SIGKILLs us.
+                # (/proc read is ~1us — negligible against the step.)
+                if args.max_host_rss_gb > 0:
+                    rss = host_rss_gb()
+                    if rss > args.max_host_rss_gb:
+                        drain_losses()
+                        signal.signal(signal.SIGINT, prev_handler)
+                        if is_main_process:
+                            print(f"Host RSS {rss:.1f} GiB > cap "
+                                  f"{args.max_host_rss_gb:.1f} GiB: saving "
+                                  f"state, iter: {iteration}; exiting "
+                                  f"{RECYCLE_EXIT_CODE} for recycle",
+                                  flush=True)
+                            latest_saved = save_path(epoch, iteration)
+                            save_train_state(latest_saved, state)
+                        raise SystemExit(RECYCLE_EXIT_CODE)
 
             drain_losses()
             if iteration == cfg.max_iter:
