@@ -8,4 +8,7 @@ from planerecnet_tpu.losses.losses import (  # noqa: F401
     rmse_log_loss,
     sigmoid_focal_loss,
 )
-from planerecnet_tpu.losses.vnl import vnl_loss_single  # noqa: F401
+from planerecnet_tpu.losses.vnl import (  # noqa: F401
+    vnl_loss_ori,
+    vnl_loss_single,
+)

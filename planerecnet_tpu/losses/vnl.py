@@ -268,6 +268,86 @@ def _cos_abs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(num / jnp.maximum(den, 1e-8))
 
 
+def _vnl_ori_from_indices(idx: jnp.ndarray,
+                          gt_flat: jnp.ndarray,
+                          pred_flat: jnp.ndarray,
+                          fx: jnp.ndarray, fy: jnp.ndarray,
+                          u0: float, v0: float, w: int,
+                          delta_cos: float, delta_diff: float,
+                          delta_z: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One image's whole-image virtual-normal triplet losses from given flat
+    pixel ids ``idx`` (3, M). Returns (per-triplet L1 normal loss (M,),
+    validity (M,)) — the index-injectable core of :func:`vnl_loss_ori`, split
+    out so tests can drive it with the reference's sampled indices."""
+    pw_gt = _form_triplets_from_depth(gt_flat, idx, fx, fy, u0, v0, w)
+    valid = _filter_mask(pw_gt, delta_z, delta_cos=delta_cos,
+                         delta_diff=delta_diff)
+    pw_pred = _form_triplets_from_depth(pred_flat, idx, fx, fy, u0, v0, w)
+    # Intended z-clamp; the reference's ``pw_groups_pred[...== 0] = 0.0001``
+    # (vnl.py:307) boolean-indexes the COORDINATE axis with a POINT-axis
+    # mask (the same dimension mix-up as vnl.py:154) — replaced by the
+    # intended semantics, as in vnl_loss_single.
+    z = pw_pred[:, 2, :]
+    pw_pred = pw_pred.at[:, 2, :].set(jnp.where(z == 0, 1e-4, z))
+    gt_n = _normals(pw_gt)
+    dt_n = _normals(pw_pred)
+    return jnp.sum(jnp.abs(gt_n - dt_n), axis=1), valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "delta_z",
+                                             "select"))
+def vnl_loss_ori(rng: jax.Array,
+                 gt_depth: jnp.ndarray,
+                 pred_depth: jnp.ndarray,
+                 fx: jnp.ndarray,
+                 fy: jnp.ndarray,
+                 num_samples: int = 2048,
+                 delta_cos: float = 0.867,
+                 delta_diff: float = 0.005,
+                 delta_z: float = 1e-4,
+                 select: bool = True) -> jnp.ndarray:
+    """The original whole-image virtual-normal loss, TPU-native
+    (reference ``VNL_Loss_ori``, vnl.py:168-346 — unused dead code in the
+    reference training loop, provided here for inventory completeness and
+    as a drop-in depth-supervision alternative).
+
+    Semantics mirrored: three independent uniform pixel draws over the FULL
+    image per triplet corner (reference select_index, vnl.py:214-233 — the
+    reference draws ``int(H*W*0.15)`` triplets with host numpy; here a fixed
+    shape-static ``num_samples`` with ``jax.random``), GT-geometry triplet
+    filter with delta_cos=0.867 / delta_diff=0.005 (vnl.py:259-291), unit
+    normals with the +0.01 zero-norm guard (vnl.py:330-343), per-triplet
+    loss = sum_xyz |n_gt - n_pred| pooled across the whole batch
+    (vnl.py:344-345), and with ``select`` the easiest 25% are dropped before
+    the mean (ascending sort, drop first quarter — vnl.py:346-348).
+
+    Args:
+      gt_depth, pred_depth: (B, H, W) depth maps.
+      fx, fy: scalar focal lengths (the reference takes them per call since
+        "we can't assume that every image are taken by the same camera",
+        vnl.py:170-172).
+    """
+    b, h, w = gt_depth.shape
+    u0, v0 = w // 2, h // 2
+
+    def per_image(rng_i, gt_i, pred_i):
+        idx = jax.random.randint(rng_i, (3, num_samples), 0, h * w)
+        return _vnl_ori_from_indices(idx, gt_i.reshape(-1),
+                                     pred_i.reshape(-1), fx, fy, u0, v0, w,
+                                     delta_cos, delta_diff, delta_z)
+
+    rngs = jax.random.split(rng, b)
+    losses, valid = jax.vmap(per_image)(rngs, gt_depth, pred_depth)
+    # The reference pools every image's surviving triplets into ONE set
+    # before the hardest-75% selection (reshape(1, -1, 3, 3), vnl.py:309-312).
+    losses = losses.reshape(-1)
+    valid = valid.reshape(-1)
+    if select:
+        return _hardest75_mean(losses, valid)
+    n = jnp.sum(valid.astype(jnp.float32))
+    return jnp.sum(jnp.where(valid, losses, 0.0)) / jnp.maximum(n, 1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "delta_z",
                                              "sample_nonplanar"))
 def vnl_loss_single(rng: jax.Array,

@@ -136,8 +136,9 @@ def _gather_patches(x: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray
 
 # Corner-sampling strategy for the forward: "rows" = 4 separate row
 # gathers from the flattened (B, H*W, C) map; "patch" = one 2x2xC patch
-# gather (corners are memory-adjacent). Both are bit-exact
-# (tests/test_dcn.py); they differ only in speed:
+# gather (corners are memory-adjacent). Forward bit-exact; backward equal
+# to ~2 ulp — the scatters accumulate in a different order
+# (tests/test_dcn.py). They differ in speed:
 #   * inference: patch wins (batch-8 PRN-50 pipeline 145.1 vs 132.1 img/s,
 #     PERF.md round 3);
 #   * training: patch's autodiff backward lowers to a catastrophic 2x2-slice
@@ -161,7 +162,44 @@ def default_gather_mode(train: bool) -> str:
 #                         traffic; only helps if XLA doesn't upcast).
 #   mode "mix:<R>"        per-LAYER gather policy: patch when the layer's
 #                         sample count Ho*Wo*K <= R, rows otherwise.
+#   mode "onehot"         interp-matmul gather (see _gather_onehot): the 4
+#                         corner weights fold into an on-the-fly (R, HW)
+#                         one-hot matrix and sampling becomes one MXU
+#                         matmul whose BACKWARD is also a matmul (no
+#                         scatter). Only sane for small maps.
+#   mode "onehot:<HW>[:fb]"  onehot when the layer's H*W <= <HW>, else the
+#                         fallback mode fb (default rows).
 DCN_IDX16 = _os.environ.get("PRN_DCN_IDX16") == "1"
+
+
+def _gather_onehot(x_flat: jnp.ndarray, ids: jnp.ndarray,
+                   ws: jnp.ndarray) -> jnp.ndarray:
+    """Interp-matmul "gather": fold the 4 validity-zeroed bilinear corner
+    weights into ONE (R, H*W) interpolation matrix built on the fly from an
+    iota-compare, then take all samples as a single MXU matmul
+    ``M @ x``.
+
+    Why: TPU per-element gathers cost far more than their bytes, while the
+    MXU is nearly free at these sizes. For a SMALL feature map (conv4/conv5
+    stages: H*W <= ~1.6k at 640^2) the matmul costs R*HW*C MACs (~12 GFLOP
+    per conv4 image = ~30 us on a v5e) and — decisively for training — its
+    autodiff backward is ``M^T @ dout``: another matmul instead of the
+    scatter-add the rows/patch modes lower to. For large maps (conv3:
+    HW = 6.4k) the (R, HW) matrix is ~740 MB/image and the formulation
+    loses; mode "auto<HW>" keys the choice per layer.
+
+    x_flat: (B, H*W, C); ids/ws: (B, R, 4). Returns (B, R, C) with the
+    bilinear weights ALREADY applied (unlike the other modes, which return
+    per-corner values for a later weighted sum).
+    """
+    hw = x_flat.shape[1]
+    iota = jnp.arange(hw, dtype=ids.dtype)
+    m = jnp.sum(
+        jnp.where(ids[..., None] == iota, ws[..., None], 0.0),
+        axis=2).astype(x_flat.dtype)                     # (B, R, HW)
+    return jnp.einsum("brh,bhc->brc", m, x_flat,
+                      preferred_element_type=jnp.float32
+                      ).astype(x_flat.dtype)
 
 
 def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
@@ -174,6 +212,14 @@ def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
     mode = gather_mode or CORNER_GATHER
     if mode.startswith("mix:"):
         mode = "patch" if sy.shape[1] <= int(mode[4:]) else "rows"
+    if mode.startswith("onehot:"):
+        # "onehot:<HW>[:fallback]" — interp-matmul when the layer's map has
+        # at most <HW> positions, else the fallback mode (default rows).
+        parts = mode.split(":")
+        mode = "onehot" if h * w <= int(parts[1]) else (
+            parts[2] if len(parts) > 2 else "rows")
+    if mode == "onehot":
+        return _gather_onehot(x_flat, ids, ws)
     if mode == "patch":
         b = x_flat.shape[0]
         if DCN_IDX16 and max(h, w) + 2 < 2 ** 15:

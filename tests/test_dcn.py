@@ -289,9 +289,19 @@ def test_pallas_scatter_banded(monkeypatch):
 
 
 def test_patch_gather_mode_bit_exact():
-    """CORNER_GATHER='patch' (one 2x2xC patch gather) must match the
-    default row-gather path bit-for-bit, forward and all gradients,
-    including far out-of-bounds offsets."""
+    """gather_mode='patch' (one 2x2xC patch gather) must match the
+    row-gather path bit-for-bit on the FORWARD (the path inference uses;
+    patch is inference-only by policy) and to 2-ulp tolerance on gradients
+    (the backward scatters accumulate in a different order), including far
+    out-of-bounds offsets.
+
+    NB: the modes are selected via the EXPLICIT static ``gather_mode``
+    argument — the path production uses (runner/backbone pass
+    ``default_gather_mode(train)``). An earlier version of this test
+    flipped the module-global ``CORNER_GATHER`` between calls, which the
+    jit cache silently ignores (same shapes + static args -> cache hit),
+    making the comparison vacuous — and hiding the ulp-level backward
+    difference this version documents."""
     from planerecnet_tpu.ops import dcn
 
     rng = np.random.RandomState(3)
@@ -301,23 +311,50 @@ def test_patch_gather_mode_bit_exact():
     m = jnp.asarray(rng.rand(b, h, w, 9), jnp.float32)
     wt = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
 
-    def loss(*a):
-        return jnp.sum(jnp.square(dcn.deform_conv2d(*a)))
+    def loss(mode, *a):
+        return jnp.sum(jnp.square(dcn.deform_conv2d(*a, gather_mode=mode)))
 
-    prev = dcn.CORNER_GATHER
-    try:
-        dcn.CORNER_GATHER = "rows"
-        ref = dcn.deform_conv2d(x, off, m, wt)
-        gref = jax.grad(loss, argnums=(0, 1, 2, 3))(x, off, m, wt)
-        dcn.CORNER_GATHER = "patch"
-        new = dcn.deform_conv2d(x, off, m, wt)
-        gnew = jax.grad(loss, argnums=(0, 1, 2, 3))(x, off, m, wt)
-    finally:
-        dcn.CORNER_GATHER = prev
+    ref = dcn.deform_conv2d(x, off, m, wt, gather_mode="rows")
+    gref = jax.grad(loss, argnums=(1, 2, 3, 4))("rows", x, off, m, wt)
+    new = dcn.deform_conv2d(x, off, m, wt, gather_mode="patch")
+    gnew = jax.grad(loss, argnums=(1, 2, 3, 4))("patch", x, off, m, wt)
 
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
     for a, c in zip(gref, gnew):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=3e-7, atol=5e-7)
+
+
+def test_onehot_gather_mode_close():
+    """gather_mode='onehot' (interp-matmul; backward is a matmul instead of
+    a scatter) must match the row-gather path to f32 matmul tolerance,
+    forward and all gradients, including out-of-bounds offsets and the
+    'onehot:<HW>[:fb]' per-layer threshold form."""
+    from planerecnet_tpu.ops import dcn
+
+    rng = np.random.RandomState(5)
+    b, h, w, cin, cout = 2, 9, 12, 8, 16
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    off = jnp.asarray(rng.randn(b, h, w, 18) * 4, jnp.float32)
+    m = jnp.asarray(rng.rand(b, h, w, 9), jnp.float32)
+    wt = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+
+    def loss(mode, *a):
+        return jnp.sum(jnp.square(dcn.deform_conv2d(*a, gather_mode=mode)))
+
+    ref = dcn.deform_conv2d(x, off, m, wt, gather_mode="rows")
+    gref = jax.grad(loss, argnums=(1, 2, 3, 4))("rows", x, off, m, wt)
+    for mode in ("onehot", f"onehot:{h * w}", "onehot:4:patch"):
+        new = dcn.deform_conv2d(x, off, m, wt, gather_mode=mode)
+        gnew = jax.grad(loss, argnums=(1, 2, 3, 4))(mode, x, off, m, wt)
+        if mode == "onehot:4:patch":      # threshold not met -> fallback
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+            continue
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
+                                   rtol=1e-5, atol=1e-5)
+        for a, c in zip(gref, gnew):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-4, atol=1e-4)
 
 
 def test_default_gather_mode_policy(monkeypatch):

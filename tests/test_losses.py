@@ -373,3 +373,65 @@ def test_vnl_sampler_uniform_over_mask():
     _, ok0 = _sample_mask_indices(
         jax.random.PRNGKey(0), jnp.zeros(h * w, bool), (3, 64), (h, w))
     assert not bool(ok0)
+
+
+def test_vnl_ori_zero_for_identical_depths():
+    """vnl_loss_ori on identical gt/pred depth must be ~0: every surviving
+    triplet's gt and pred normals coincide."""
+    from planerecnet_tpu.losses import vnl_loss_ori
+    h, w = 48, 64
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    depth = (1.5 + 0.02 * u + 0.01 * v)[None].repeat(2, axis=0)
+    loss = vnl_loss_ori(jax.random.PRNGKey(0), depth, depth,
+                        jnp.float32(40.0), jnp.float32(40.0),
+                        num_samples=512)
+    assert float(loss) < 1e-4
+
+
+def test_vnl_ori_matches_reference_torch():
+    """Drive the reference's VNL_Loss_ori (vnl.py:168-346) on CPU torch with
+    injected sample indices and compare against the index-injectable core of
+    the JAX implementation pooled the same way."""
+    import torch
+    from reference_torch import load_reference
+    load_reference()
+    import models.functions.vnl as ref_vnl
+
+    from planerecnet_tpu.losses.vnl import (_hardest75_mean,
+                                            _vnl_ori_from_indices)
+
+    b, h, w, m = 2, 40, 56, 700
+    rng = np.random.RandomState(7)
+    gt = (1.0 + rng.rand(b, h, w).astype(np.float32) * 3.0)
+    pred = gt + rng.randn(b, h, w).astype(np.float32) * 0.15
+    fx, fy = 37.0, 41.0
+    idx = rng.randint(0, h * w, size=(3, m))
+
+    # Reference on CPU: .cuda() -> identity, fixed select_index.
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        ref = ref_vnl.VNL_Loss_ori((h, w))
+        ref.select_index = lambda: {
+            "p1_x": idx[0] % w, "p1_y": idx[0] // w,
+            "p2_x": idx[1] % w, "p2_y": idx[1] // w,
+            "p3_x": idx[2] % w, "p3_y": idx[2] // w,
+        }
+        ref_val = ref(torch.from_numpy(gt[:, None]),
+                      torch.from_numpy(pred[:, None]),
+                      torch.tensor(fx), torch.tensor(fy), select=True)
+        ref_val = float(ref_val)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    losses, valid = jax.vmap(
+        lambda g, p: _vnl_ori_from_indices(
+            jnp.asarray(idx), g.reshape(-1), p.reshape(-1),
+            jnp.float32(fx), jnp.float32(fy), w // 2, h // 2, w,
+            0.867, 0.005, 1e-4))(jnp.asarray(gt), jnp.asarray(pred))
+    ours = float(_hardest75_mean(losses.reshape(-1), valid.reshape(-1)))
+
+    assert np.sum(np.asarray(valid)) > 100        # the filter kept triplets
+    assert abs(ours - ref_val) < 1e-4 * max(1.0, abs(ref_val)), (
+        ours, ref_val)
