@@ -202,6 +202,13 @@ def _gather_onehot(x_flat: jnp.ndarray, ids: jnp.ndarray,
                       ).astype(x_flat.dtype)
 
 
+# Rematerialise the interp matrix in the backward instead of saving it as a
+# residual: M is (R, HW) bf16 — ~46 MB per conv4 image at 640^2, ~3 GB of
+# residuals across 8 layers x 8 scan chunks — while rebuilding it costs one
+# VPU iota-compare pass. PRN_DCN_ONEHOT_SAVE=1 keeps the residual for A/B.
+_gather_onehot_remat = jax.checkpoint(_gather_onehot)
+
+
 def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
                      sy: jnp.ndarray, sx: jnp.ndarray,
                      gather_mode: Optional[str] = None) -> jnp.ndarray:
@@ -219,7 +226,9 @@ def _bilinear_gather(x_flat: jnp.ndarray, h: int, w: int,
         mode = "onehot" if h * w <= int(parts[1]) else (
             parts[2] if len(parts) > 2 else "rows")
     if mode == "onehot":
-        return _gather_onehot(x_flat, ids, ws)
+        fn = (_gather_onehot if _os.environ.get("PRN_DCN_ONEHOT_SAVE") == "1"
+              else _gather_onehot_remat)
+        return fn(x_flat, ids, ws)
     if mode == "patch":
         b = x_flat.shape[0]
         if DCN_IDX16 and max(h, w) + 2 < 2 ** 15:
