@@ -153,15 +153,21 @@ def postprocess_single(cate_scores_flat: jnp.ndarray,
     masks = masks[..., 0] > sv.mask_thr                     # (top_k, H, W)
     masks = masks & valid[:, None, None]
 
-    # Boxes from mask extents, vectorised (reference 282-287).
+    # Boxes from mask extents, vectorised (reference 282-287). Project to
+    # row/column occupancy first: two boolean reductions over (K, H, W)
+    # replace four f32 where-reductions, then the min/max runs on the tiny
+    # (K, W)/(K, H) projections. Bit-exact: min x over columns containing
+    # any mask pixel IS the mask's x_min.
     h, w = ori_size
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    any_x = jnp.any(masks, axis=1)                          # (K, W)
+    any_y = jnp.any(masks, axis=2)                          # (K, H)
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     big = jnp.float32(1e9)
-    x_min = jnp.min(jnp.where(masks, xs, big), axis=(1, 2))
-    y_min = jnp.min(jnp.where(masks, ys, big), axis=(1, 2))
-    x_max = jnp.max(jnp.where(masks, xs, -big), axis=(1, 2))
-    y_max = jnp.max(jnp.where(masks, ys, -big), axis=(1, 2))
+    x_min = jnp.min(jnp.where(any_x, xs, big), axis=1)
+    y_min = jnp.min(jnp.where(any_y, ys, big), axis=1)
+    x_max = jnp.max(jnp.where(any_x, xs, -big), axis=1)
+    y_max = jnp.max(jnp.where(any_y, ys, -big), axis=1)
     boxes = jnp.stack([x_min, y_min, x_max, y_max], axis=-1)
     boxes = jnp.where(valid[:, None], boxes, 0.0)
 
