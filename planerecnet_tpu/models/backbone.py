@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from planerecnet_tpu.config import BackboneConfig
+from planerecnet_tpu.models.layers import TorchBatchNorm
 from planerecnet_tpu.ops.dcn import deform_conv2d
 
 
@@ -106,8 +107,8 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
                       kernel_dilation=(self.dilation, self.dilation),
                       dtype=self.dtype, name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           dtype=jnp.float32, name="bn1")(out)
+        out = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                             name="bn1")(out)
         out = nn.relu(out)
 
         if self.use_dcn:
@@ -122,24 +123,24 @@ class Bottleneck(nn.Module):
                           kernel_dilation=(self.dilation, self.dilation),
                           use_bias=False, dtype=self.dtype,
                           name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           dtype=jnp.float32, name="bn2")(out)
+        out = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                             name="bn2")(out)
         out = nn.relu(out)
 
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       kernel_dilation=(self.dilation, self.dilation),
                       dtype=self.dtype, name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           dtype=jnp.float32, name="bn3")(out)
+        out = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                             name="bn3")(out)
 
         if self.has_downsample:
             residual = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                kernel_dilation=(self.dilation,) * 2,
                                dtype=self.dtype, name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, dtype=jnp.float32,
-                                    name="downsample_bn")(residual)
+            residual = TorchBatchNorm(use_running_average=not train,
+                                      momentum=0.9,
+                                      name="downsample_bn")(residual)
         return nn.relu(out + residual)
 
 
@@ -201,8 +202,8 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32, name="bn1")(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           name="bn1")(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1) pads with -inf.
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

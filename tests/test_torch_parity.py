@@ -225,3 +225,56 @@ def test_forward_and_postprocess_parity(preset):
         np.asarray(out["pred_depth"][0]),
         ref_res["pred_depth"].numpy()[0, 0], rtol=1e-3, atol=1e-3,
         err_msg="pred_depth")
+
+
+@pytest.mark.parametrize("family,t_momentum,eps", [
+    ("backbone", 0.1, 1e-5),        # reference backbone BN defaults
+    ("depth_decoder", 0.01, 1e-3),  # reference planerecnet.py:515-538
+])
+def test_train_mode_bn_running_stats(family, t_momentum, eps):
+    """One TRAIN-mode step's running statistics pin against torch for both
+    BN families, including torch's UNBIASED batch-variance convention for
+    the running_var update (torch normalises with the biased variance but
+    stores var * n/(n-1); flax.linen.BatchNorm stores the biased one —
+    models/layers.py::TorchBatchNorm carries the correction)."""
+    from planerecnet_tpu.models.layers import TorchBatchNorm
+
+    rng = np.random.RandomState(7)
+    c = 6
+    x = rng.randn(2, 4, 5, c).astype(np.float32) * 3 + 1.5  # NHWC
+
+    tbn = torch.nn.BatchNorm2d(c, eps=eps, momentum=t_momentum)
+    tbn.train()
+    with torch.no_grad():
+        tbn.running_mean.normal_()
+        tbn.running_var.uniform_(0.5, 2.0)
+        tbn.weight.normal_()
+        tbn.bias.normal_()
+        rm0 = tbn.running_mean.numpy().copy()
+        rv0 = tbn.running_var.numpy().copy()
+        w0 = tbn.weight.numpy().copy()
+        b0 = tbn.bias.numpy().copy()
+        want_y = tbn(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)))).numpy()
+        want_rm = tbn.running_mean.numpy()
+        want_rv = tbn.running_var.numpy()
+
+    m = TorchBatchNorm(use_running_average=False,
+                       momentum=1.0 - t_momentum, epsilon=eps)
+    variables = {
+        "params": {"scale": jnp.asarray(w0), "bias": jnp.asarray(b0)},
+        "batch_stats": {"mean": jnp.asarray(rm0), "var": jnp.asarray(rv0)},
+    }
+    y, mutated = m.apply(variables, jnp.asarray(x),
+                         mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.transpose(np.asarray(y), (0, 3, 1, 2)),
+                               want_y, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["mean"]),
+                               want_rm, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["var"]),
+                               want_rv, rtol=1e-5, atol=1e-6)
+
+    # The biased (flax) convention would be visibly wrong at this n:
+    n = x.size // c
+    assert n / (n - 1) > 1.02  # the test has the power to catch it
