@@ -360,6 +360,28 @@ class PlaneRecNetConfig(_FrozenBase):
     # semantics are exactly the reference's (every plane sampled).
     vnl_max_planes: int = 16
 
+    # Train-time wire format for images: True ships the augmented image as
+    # u8 BGR and normalises on device (4x less host->device transfer —
+    # the sustained-training bottleneck on a remote-attached chip, PERF.md
+    # round 4); photometric-distorted values are clipped+rounded to the u8
+    # sensor range. False is the reference-exact unclipped f32 path
+    # (reference data/augmentations.py:359-394). Override with
+    # --cfg_overrides '{"device_normalize": false}'.
+    device_normalize: bool = True
+
+    # Train-time wire format for GT masks: True ships ONLY the valid
+    # instance slots (a (M, H, W/8) bit-packed row array + slot index
+    # vector, M rounded up to a multiple of 16) and scatters them into the
+    # dense (B, max_instances, H, W/8) form on device — scenes carry ~6
+    # planes against the 32-slot capacity, so the all-slots wire was ~80%
+    # zero padding (~13 MB of the ~30 MB batch; host->device transfer is
+    # the sustained-training bottleneck on a remote-attached chip, PERF.md
+    # round 4). Bit-exact vs the dense wire
+    # (tests/test_data.py::test_sparse_mask_wire_bit_exact). Automatically
+    # disabled for multi-host runs (every process must ship uniform
+    # shapes into make_array_from_process_local_data).
+    wire_sparse_masks: bool = True
+
     # Compute dtype for conv/matmul heavy paths: "bfloat16", "float32", or
     # "auto" = bfloat16 for INFERENCE on TPU (gated by the bf16 drift tests
     # in tests/test_bf16.py: post-processed mask IoU >= 0.99 and depth rel

@@ -33,25 +33,29 @@ class SSDAugmentation:
     photometric -> mirror -> flip -> [rot90] -> [motion blur] -> [noise]
     -> square resize -> normalise + BGR->RGB.
 
-    With ``device_normalize`` (default) the final normalise + channel swap
-    moves ONTO the device (``trainer.unpack_wire_batch``) and the host
-    ships the augmented image as u8 BGR — 4x less host->device transfer,
-    the training bottleneck on a remote-attached chip (PERF.md round 4).
-    Divergence from the reference (documented): photometric distortion can
-    push values outside [0, 255] (the reference normalises them unclipped,
+    With ``device_normalize`` (default ``cfg.device_normalize``, True in
+    every preset) the final normalise + channel swap moves ONTO the device
+    (``trainer.unpack_wire_batch``) and the host ships the augmented image
+    as u8 BGR — 4x less host->device transfer, the training bottleneck on
+    a remote-attached chip (PERF.md round 4). Divergence from the
+    reference (documented): photometric distortion can push values outside
+    [0, 255] (the reference normalises them unclipped,
     data/augmentations.py:359-394); the u8 wire form clips+rounds to the
-    sensor range. Set ``device_normalize=False`` for the reference-exact
-    f32 path.
+    sensor range. For the reference-exact f32 path run with
+    ``--cfg_overrides '{"device_normalize": false}'`` (or pass
+    ``device_normalize=False`` here).
     """
 
     def __init__(self, cfg: PlaneRecNetConfig, mean=MEANS, std=STD,
                  rng: Optional[np.random.RandomState] = None,
-                 device_normalize: bool = True):
+                 device_normalize: Optional[bool] = None):
         self.cfg = cfg
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.rng = rng if rng is not None else np.random.RandomState()
-        self.device_normalize = device_normalize
+        self.device_normalize = (getattr(cfg, "device_normalize", True)
+                                 if device_normalize is None
+                                 else device_normalize)
 
     def __call__(self, img, depth, masks, boxes, labels, plane_paras):
         cfg, rng = self.cfg, self.rng

@@ -262,7 +262,10 @@ def pad_instances(cfg: PlaneRecNetConfig, instances: Dict,
     return out
 
 
-def collate_batch(cfg: PlaneRecNetConfig, samples: List) -> Dict[str, np.ndarray]:
+def collate_batch(cfg: PlaneRecNetConfig, samples: List,
+                  stats: Optional[Dict[str, int]] = None,
+                  sparse_masks: Optional[bool] = None
+                  ) -> Dict[str, np.ndarray]:
     """Stack padded samples into the fixed-shape WIRE batch dict; the
     trainer's ``unpack_wire_batch`` restores the dense form on device
     before ``compute_losses`` (replaces reference detection_collate,
@@ -271,9 +274,23 @@ def collate_batch(cfg: PlaneRecNetConfig, samples: List) -> Dict[str, np.ndarray
     Wire format (host->device transfer is the sustained-throughput
     bottleneck on a remote-attached chip — measured ~30 MB/s through this
     deployment's tunnel, PERF.md round 4):
-      * ``masks_packed``: binary GT masks bit-packed along W
-        (``np.packbits``) — 8x smaller than the u8 dense form, 32x
-        smaller than f32; device unpack is a shift-and-mask.
+      * ``masks_sparse`` + ``mask_slots`` (default, ``cfg.wire_sparse_masks``):
+        only the VALID instance slots' bit-packed masks, as a (M16, H,
+        ceil(W/8)) u8 row array plus an int32 vector mapping row -> flat
+        (image, slot) index; M16 = n_valid rounded up to a multiple of 16
+        (bounds the jit-shape count of the device-side scatter,
+        ``trainer.densify_sparse_masks``, to <= B*max_instances/16
+        variants of a trivial program). Padding rows carry the
+        out-of-range slot ``B * max_instances`` and are dropped by the
+        scatter. ~5x fewer mask bytes at the ~6-planes-per-scene ScanNet
+        regime.
+      * ``masks_packed`` (``sparse_masks=False``): all ``max_instances``
+        slots, binary GT masks bit-packed along W (``np.packbits``) — 8x
+        smaller than the u8 dense form, 32x smaller than f32; device
+        unpack is a shift-and-mask. Multi-host runs use this form (every
+        process must feed the SAME shapes into
+        ``make_array_from_process_local_data``; per-batch valid counts
+        differ across shards).
       * ``depth_q``: u16 depth in ``depth_resolution`` units — LOSSLESS
         for datasets read from 16-bit PNGs at that resolution (ScanNet
         convention); augmentation-interpolated values round to half a
@@ -284,6 +301,21 @@ def collate_batch(cfg: PlaneRecNetConfig, samples: List) -> Dict[str, np.ndarray
     imgs, insts, depths = zip(*samples)
     h, w = imgs[0].shape[:2]
     padded = [pad_instances(cfg, i, (h, w)) for i in insts]
+    if stats is not None:
+        # Training-side GT truncation is OBSERVABLE, not silent (the eval
+        # pipeline surfaces its analogue as ``candidates_clipped``):
+        # instances beyond max_instances are dropped by pad_instances, and
+        # planes beyond vnl_max_planes never reach the VNL sampler
+        # (losses/vnl.py valid-first compaction). ScanNet frames can
+        # legitimately exceed both caps.
+        for i in insts:
+            n = len(i["classes"])
+            stats["instances_dropped"] = stats.get(
+                "instances_dropped", 0) + max(0, n - cfg.max_instances)
+            if cfg.use_plane_loss:
+                stats["vnl_planes_dropped"] = stats.get(
+                    "vnl_planes_dropped", 0) + max(
+                        0, min(n, cfg.max_instances) - cfg.vnl_max_planes)
     depth = np.stack(depths)
     res = cfg.dataset.depth_resolution or 1e-3
     batch = {
@@ -291,8 +323,29 @@ def collate_batch(cfg: PlaneRecNetConfig, samples: List) -> Dict[str, np.ndarray
         "depth_q": np.clip(np.round(depth / res), 0, 65535).astype(
             np.uint16),
     }
-    masks = np.stack([p["masks"] for p in padded])
-    batch["masks_packed"] = np.packbits(masks, axis=-1)
+    if sparse_masks is None:
+        sparse_masks = getattr(cfg, "wire_sparse_masks", True)
+    if sparse_masks:
+        n_cap = cfg.max_instances
+        rows, slots = [], []
+        for bi, p in enumerate(padded):
+            n = int(p["gt_valid"].sum())
+            if n:
+                rows.append(np.packbits(p["masks"][:n], axis=-1))
+                slots.extend(range(bi * n_cap, bi * n_cap + n))
+        m = len(slots)
+        m16 = max(16, -(-m // 16) * 16)
+        w8 = -(-w // 8)
+        masks_sparse = np.zeros((m16, h, w8), np.uint8)
+        if m:
+            masks_sparse[:m] = np.concatenate(rows, axis=0)
+        mask_slots = np.full((m16,), len(padded) * n_cap, np.int32)
+        mask_slots[:m] = slots
+        batch["masks_sparse"] = masks_sparse
+        batch["mask_slots"] = mask_slots
+    else:
+        masks = np.stack([p["masks"] for p in padded])
+        batch["masks_packed"] = np.packbits(masks, axis=-1)
     for key in ("boxes", "classes", "plane_paras", "gt_valid",
                 "k_matrix"):
         batch[key] = np.stack([p[key] for p in padded])
@@ -432,6 +485,9 @@ class BatchIterator:
         self.drop_last = drop_last
         self.shard_index = shard_index
         self.num_shards = num_shards
+        # GT-truncation counters, accumulated across epochs by
+        # collate_batch; train.py reports and resets them per epoch.
+        self.truncation_stats: Dict[str, int] = {}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self.rng.permutation(len(self.dataset))
@@ -446,4 +502,10 @@ class BatchIterator:
                 return
             lo = self.shard_index * per_shard
             samples = [self.dataset[j] for j in idx[lo:lo + per_shard]]
-            yield collate_batch(self.cfg, samples)
+            # Sparse mask rows have a data-dependent count — multi-host
+            # runs need shape-uniform per-process shards, so they fall
+            # back to the all-slots wire (see collate_batch docstring).
+            yield collate_batch(
+                self.cfg, samples, stats=self.truncation_stats,
+                sparse_masks=(getattr(self.cfg, "wire_sparse_masks", True)
+                              and self.num_shards == 1))

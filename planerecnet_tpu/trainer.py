@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state as flax_train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -124,6 +125,43 @@ def create_train_state(cfg: PlaneRecNetConfig, rng: jax.Array,
         batch_stats=batch_stats, rng=state_rng)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _scatter_mask_rows(b: int, n_cap: int, sparse: jnp.ndarray,
+                       slots: jnp.ndarray) -> jnp.ndarray:
+    """Scatter (M16, H, W8) valid-slot mask rows into the dense
+    (B, n_cap, H, W8) packed form; padding rows carry the out-of-range
+    slot ``b * n_cap`` and are dropped."""
+    dense = jnp.zeros((b * n_cap,) + sparse.shape[1:], sparse.dtype)
+    dense = dense.at[slots].set(sparse, mode="drop")
+    return dense.reshape(b, n_cap, *sparse.shape[1:])
+
+
+def densify_sparse_masks(cfg: PlaneRecNetConfig, batch: Dict) -> Dict:
+    """Expand the valid-slot mask wire (``masks_sparse`` + ``mask_slots``,
+    see ``data/datasets.py::collate_batch``) into the dense
+    ``masks_packed`` form. Runs OUTSIDE the main train-step jit — the
+    sparse row count varies per batch (in multiples of 16), and the tiny
+    scatter program recompiling per distinct count must not drag the
+    300-ms-class step program with it. No-op on dense batches."""
+    if "masks_sparse" not in batch:
+        return batch
+    batch = dict(batch)
+    sparse = batch.pop("masks_sparse")
+    slots = batch.pop("mask_slots")
+    b = batch["image"].shape[0]
+    n_cap = cfg.max_instances
+    if isinstance(sparse, np.ndarray):
+        # Host path (the pjit shard_args route keeps batches in numpy
+        # until the sharded device_put).
+        dense = np.zeros((b * n_cap,) + sparse.shape[1:], sparse.dtype)
+        valid = np.asarray(slots) < b * n_cap
+        dense[np.asarray(slots)[valid]] = np.asarray(sparse)[valid]
+        batch["masks_packed"] = dense.reshape(b, n_cap, *sparse.shape[1:])
+    else:
+        batch["masks_packed"] = _scatter_mask_rows(b, n_cap, sparse, slots)
+    return batch
+
+
 def unpack_wire_batch(cfg: PlaneRecNetConfig, batch: Dict) -> Dict:
     """Device-side inverse of ``collate_batch``'s compact wire format
     (host->device transfer is the sustained-training bottleneck on a
@@ -134,6 +172,7 @@ def unpack_wire_batch(cfg: PlaneRecNetConfig, batch: Dict) -> Dict:
     (synthetic-batch tools and direct ``compute_losses`` callers keep the
     dense contract).
     """
+    batch = densify_sparse_masks(cfg, batch)
     batch = dict(batch)
     if "masks_packed" in batch:
         packed = batch.pop("masks_packed")            # (B, N, H, ceil(W/8))
@@ -253,6 +292,9 @@ def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None,
         jit_u = jax.jit(apply_grads, donate_argnums=(0, 1), **jkw)
 
         def step(state, batch):
+            # Valid-slot mask wire expands OUTSIDE jit_g: its row count
+            # varies per batch and must not retrace the step program.
+            batch = densify_sparse_masks(cfg, batch)
             grads, new_bs, losses = jit_g(state, batch)
             state = jit_u(state, grads, new_bs, losses["total"])
             return state, losses
@@ -262,6 +304,9 @@ def jit_train_step(cfg: PlaneRecNetConfig, mesh: Optional[Mesh] = None,
     repl = NamedSharding(mesh, P())
 
     def shard_args(state, batch):
+        # Valid-slot mask rows are not data-shardable (leading axis is the
+        # batch-wide valid count, not B) — expand before the sharded puts.
+        batch = densify_sparse_masks(cfg, batch)
         state = jax.device_put(state, repl)
 
         def put(key, x):

@@ -124,7 +124,11 @@ def test_train_augmentation_and_collate(scannet_root):
     assert batch["image"].dtype == np.uint8
     assert batch["depth_q"].shape == (2, 64, 64, 1)
     assert batch["depth_q"].dtype == np.uint16
-    assert batch["masks_packed"].shape == (2, 4, 64, 8)
+    # valid-slot mask wire (default): only valid rows ship, padded to a
+    # multiple of 16; densify_sparse_masks restores (B, N_cap, H, W/8)
+    assert batch["masks_sparse"].shape == (16, 64, 8)
+    assert batch["mask_slots"].shape == (16,)
+    assert batch["mask_slots"].max() == 2 * 4  # padding rows out-of-range
     assert batch["boxes"].shape == (2, 4, 4)
     assert batch["gt_valid"].shape == (2, 4)
     assert batch["plane_paras"].shape == (2, 4, 4)
@@ -160,6 +164,53 @@ def test_train_augmentation_and_collate(scannet_root):
     losses = compute_losses(cfg2, preds, batch, jax.random.PRNGKey(0))
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_sparse_mask_wire_bit_exact(scannet_root):
+    """The valid-slot mask wire (masks_sparse + mask_slots) must densify
+    to EXACTLY the all-slots masks_packed wire, on both the numpy path
+    (pjit shard_args) and the jitted device scatter — including uneven
+    valid counts, a zero-instance image, and a full-capacity image."""
+    import jax.numpy as jnp
+    from planerecnet_tpu.data import collate_batch
+    from planerecnet_tpu.trainer import densify_sparse_masks
+    root, anno = scannet_root
+    cfg = _cfg_for(root, anno)
+    n_cap, h, w = cfg.max_instances, 64, 64
+    rng = np.random.RandomState(11)
+
+    def sample(n_inst):
+        img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        depth = rng.rand(h, w, 1).astype(np.float32) * 3
+        inst = {
+            "masks": (rng.rand(n_inst, h, w) > 0.7).astype(np.float32),
+            "boxes": rng.rand(n_inst, 4).astype(np.float32) * w,
+            "classes": np.zeros((n_inst,), np.int32),
+            "plane_paras": rng.randn(n_inst, 4).astype(np.float32),
+            "k_matrix": np.eye(3, dtype=np.float32) * 500,
+        }
+        return img, inst, depth
+
+    samples = [sample(2), sample(0), sample(n_cap), sample(1)]
+    dense = collate_batch(cfg, samples, sparse_masks=False)
+    sparse = collate_batch(cfg, samples, sparse_masks=True)
+    assert sparse["masks_sparse"].shape[0] == 16  # 7 valid -> one bucket
+    assert "masks_packed" not in sparse
+
+    out_np = densify_sparse_masks(cfg, dict(sparse))
+    np.testing.assert_array_equal(out_np["masks_packed"],
+                                  dense["masks_packed"])
+    assert "masks_sparse" not in out_np
+
+    on_dev = {k: jnp.asarray(v) for k, v in sparse.items()}
+    out_dev = densify_sparse_masks(cfg, on_dev)
+    np.testing.assert_array_equal(np.asarray(out_dev["masks_packed"]),
+                                  dense["masks_packed"])
+
+    # and the remaining wire keys are identical between the two forms
+    for k in ("image", "depth_q", "boxes", "classes", "plane_paras",
+              "gt_valid", "k_matrix"):
+        np.testing.assert_array_equal(dense[k], sparse[k])
 
 
 def test_mirror_flips_boxes_and_normals():
