@@ -321,6 +321,14 @@ def vnl_loss_ori(rng: jax.Array,
     (vnl.py:344-345), and with ``select`` the easiest 25% are dropped before
     the mean (ascending sort, drop first quarter — vnl.py:346-348).
 
+    Documented divergence: the reference calls ``select_index()`` ONCE and
+    indexes every image of the batch with the same p123 set
+    (``pw[:, p1_y, p1_x]``, vnl.py:214-233 + 294-307); here each image
+    draws independent triplet indices (``jax.random.split`` per image).
+    Distributionally equivalent supervision — arguably better, since
+    images no longer share sampling noise — but batch losses are not
+    bit-comparable to the reference for a fixed host seed.
+
     Args:
       gt_depth, pred_depth: (B, H, W) depth maps.
       fx, fy: scalar focal lengths (the reference takes them per call since

@@ -9,10 +9,31 @@ containing the flattened variable pytree ("/"-joined paths). The
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import jax
 import numpy as np
+
+
+def _atomic_savez(path: str, flat: Dict[str, np.ndarray]) -> None:
+    """Write an .npz atomically: temp file in the same directory, then
+    ``os.replace``. The closed-loop supervisor resumes after SIGKILL
+    (kernel OOM, tools/closed_loop.py); a kill mid-save must never leave a
+    truncated 'latest' checkpoint that would fail every subsequent
+    ``--resume latest`` relaunch."""
+    path = path if path.endswith(".npz") else path + ".npz"
+    tmp = path + f".tmp{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def flatten_pytree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -45,8 +66,7 @@ def unflatten_to_dict(flat: Dict[str, np.ndarray]) -> Dict:
 
 def save_weights(path: str, variables: Dict) -> None:
     """Save a flax variables dict ({"params": ..., "batch_stats": ...})."""
-    np.savez(path if path.endswith(".npz") else path + ".npz",
-             **flatten_pytree(variables))
+    _atomic_savez(path, flatten_pytree(variables))
 
 
 def load_weights(path: str) -> Dict:
@@ -64,8 +84,7 @@ def save_train_state(path: str, state) -> None:
         "step": np.asarray(state.step),
         "rng": np.asarray(state.rng) if state.rng is not None else np.zeros(2),
     }
-    np.savez(path if path.endswith(".npz") else path + ".npz",
-             **flatten_pytree(payload))
+    _atomic_savez(path, flatten_pytree(payload))
 
 
 def load_train_state(path: str, state):

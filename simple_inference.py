@@ -47,7 +47,21 @@ def parse_args(argv=None):
     parser.add_argument("--top_k", default=100, type=int)
     parser.add_argument("--nms_mode", default="matrix", type=str,
                         choices=["matrix", "mask"])
-    parser.add_argument("--score_threshold", default=0.3, type=float)
+    # NB: --score_threshold here does NOT mean what it means in eval.py.
+    # This CLI preserves the reference's remap VERBATIM (reference
+    # simple_inference.py:330-338): the flag overrides mask_thr AND
+    # update_thr (binarisation + post-NMS rescored-confidence filter)
+    # while score_thr stays at the config preset — so reference users'
+    # muscle memory ("--score_threshold 0.5 shows fewer masks") carries
+    # over exactly. eval.py instead pins the flag to score_thr with its
+    # own documented reference-actual semantics (eval.py:46-80), because
+    # the published metrics depend on the preset thresholds. Pinned by
+    # tests/test_cli.py::test_simple_inference_score_threshold_remap.
+    parser.add_argument("--score_threshold", default=0.3, type=float,
+                        help="Reference-exact remap: overrides mask_thr "
+                             "and update_thr (NOT score_thr) — the "
+                             "reference CLI's actual behaviour "
+                             "(simple_inference.py:330-338).")
     parser.add_argument("--depth_mode", default="colored", type=str,
                         choices=["colored", "gray"])
     parser.add_argument("--depth_shift", default=512, type=float)

@@ -497,3 +497,93 @@ def test_evaluate_device_metrics_capacity_fallback(tmp_path):
     np.testing.assert_array_equal(np.asarray(depth_host),
                                   np.asarray(depth_dev))
     assert maps_host == maps_dev
+
+
+def test_verify_released_harness_on_seeded_golden(tmp_path, monkeypatch):
+    """tools/verify_released.py (the packaged north-star ±1% reproduction
+    procedure) must execute end to end on the seeded golden ``.pth``
+    stand-in: config parsed from the checkpoint name, conversion + the
+    real eval.py flow, the measured-metrics json, and the budget verdict
+    logic pinned both ways. The published-table comparison itself stays
+    environment-blocked until the released weights exist (BASELINE.md)."""
+    torch = pytest.importorskip("torch")
+    import copy
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    import eval as eval_script  # resolve OUR eval.py before reference_torch
+    import verify_released     # puts /root/reference on sys.path
+    from reference_torch import seeded_prn50_net
+    from test_data import _write_synthetic_scannet
+
+    net, _ = seeded_prn50_net(0)
+    pth = str(tmp_path / "PlaneRecNet_50_9_125000.pth")
+    torch.save(net.state_dict(), pth)
+    del net
+
+    root = str(tmp_path / "scans")
+    os.makedirs(root, exist_ok=True)
+    anno = _write_synthetic_scannet(root)
+
+    # Run eval.py IN-PROCESS (the conftest pins the CPU platform; a
+    # subprocess would grab the TPU plugin and full-size compiles).
+    def call_inproc(cmd, cwd=None):
+        assert cmd[1].endswith("eval.py"), cmd
+        eval_script.main(cmd[2:])
+        return 0
+
+    monkeypatch.setattr(verify_released.subprocess, "call", call_inproc)
+
+    # num_grids must stay at the preset: the depth decoder's cross-task
+    # injection width depends on it, so changing it would break loading
+    # the full checkpoint. max_size & postprocess caps are param-free.
+    tiny = json.dumps({
+        "max_size": 64, "max_instances": 4, "max_positives": 16,
+        "solov2": {"max_candidates": 32, "nms_pre": 32, "top_k": 8}})
+    mjson = str(tmp_path / "measured.json")
+    with pytest.raises(SystemExit) as e:
+        verify_released.main([
+            "--pth", pth, "--images", root, "--annotations", anno,
+            "--max_images", "2", "--metrics_json", mjson,
+            "--cfg_overrides", tiny])
+    # seeded random-ish weights on synthetic data won't hit Table 2; the
+    # harness must still complete and emit the measured metrics.
+    assert e.value.code in (0, 1)
+    with open(mjson) as f:
+        measured = json.load(f)
+    assert "mask" in measured and "box" in measured and "depth" in measured
+    assert set(measured["depth"]) >= {"abs_rel", "rmse", "a1"}
+
+    # Verdict logic: an identical table passes the ±1% budget...
+    table = {k: dict(measured[k]) for k in ("mask", "box", "depth")}
+    assert verify_released.compare(measured, copy.deepcopy(table), 1.0)
+    # ...and a budgeted metric >1% off fails it.
+    off = copy.deepcopy(table)
+    off["depth"]["rmse"] = float(off["depth"]["rmse"]) * 1.05 + 0.01
+    assert not verify_released.compare(measured, off, 1.0)
+
+
+def test_simple_inference_score_threshold_remap(monkeypatch):
+    """simple_inference's --score_threshold overrides mask_thr AND
+    update_thr and leaves score_thr at the preset — the reference CLI's
+    actual remap (reference simple_inference.py:330-338), deliberately
+    DIFFERENT from eval.py's pinned score_thr semantics (eval.py:46-80);
+    both are documented in their own help text."""
+    import simple_inference
+
+    captured = {}
+
+    class _Stub:
+        def __init__(self, cfg):
+            captured["cfg"] = cfg
+            raise RuntimeError("stop after config resolution")
+
+    monkeypatch.setattr(simple_inference, "PlaneRecNetRunner", _Stub)
+    with pytest.raises(RuntimeError):
+        simple_inference.main(["--image", "x:y",
+                               "--config", "PlaneRecNet_50_config",
+                               "--score_threshold", "0.42"])
+    cfg = captured["cfg"]
+    assert cfg.solov2.mask_thr == 0.42
+    assert cfg.solov2.update_thr == 0.42
+    assert cfg.solov2.score_thr == PlaneRecNet_50_config.solov2.score_thr

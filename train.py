@@ -118,8 +118,15 @@ def parse_args(argv=None):
                         help="Pin all RNG seeds (reference train.py:476-487).")
     parser.add_argument("--batch_size", default=8, type=int)
     parser.add_argument("--lr", "--learning_rate", default=None, type=float)
-    parser.add_argument("--momentum", default=None, type=float)
-    parser.add_argument("--decay", "--weight_decay", default=None, type=float)
+    parser.add_argument("--momentum", default=None, type=float,
+                        help="No-op, parsed for reference-CLI parity: the "
+                             "reference's Adam never reads it (reference "
+                             "train.py:58-67, 251-256).")
+    parser.add_argument("--decay", "--weight_decay", default=None, type=float,
+                        help="No-op, parsed for reference-CLI parity: the "
+                             "reference parses --decay but builds Adam "
+                             "without weight_decay (reference "
+                             "train.py:251-256).")
     parser.add_argument("--gamma", default=None, type=float)
     parser.add_argument("--num_workers", default=2, type=int)
     parser.add_argument("--save_interval", default=12500, type=int)
@@ -419,8 +426,21 @@ def main(argv=None):
                 # Host-RSS guard (see RECYCLE_EXIT_CODE above): checkpoint
                 # and exit 75 before the kernel OOM-killer SIGKILLs us.
                 # (/proc read is ~1us — negligible against the step.)
+                # Multi-host: the trip decision must be COLLECTIVE — one
+                # worker exiting alone would strand its peers in the next
+                # step's collectives. All processes allgather their RSS
+                # every LOG_EVERY iterations (a scalar collective; the
+                # ~LOG_EVERY-iteration slack is noise against a >> 1 GiB
+                # cap) and trip together on the max.
                 if args.max_host_rss_gb > 0:
-                    rss = host_rss_gb()
+                    multi = jax.process_count() > 1
+                    rss = 0.0
+                    if not multi:
+                        rss = host_rss_gb()
+                    elif iteration % LOG_EVERY == 0:
+                        from jax.experimental import multihost_utils
+                        rss = float(np.max(multihost_utils.process_allgather(
+                            np.float32(host_rss_gb()))))
                     if rss > args.max_host_rss_gb:
                         drain_losses()
                         signal.signal(signal.SIGINT, prev_handler)
@@ -435,6 +455,18 @@ def main(argv=None):
                         raise SystemExit(RECYCLE_EXIT_CODE)
 
             drain_losses()
+            # Per-epoch GT-truncation report (VERDICT r4: training-side
+            # truncation must be observable like eval's candidates_clipped).
+            trunc = getattr(loader.iterable, "truncation_stats", None)
+            if trunc and any(trunc.values()) and is_main_process:
+                parts = ", ".join(f"{k}: {v}" for k, v in trunc.items() if v)
+                print(f"WARNING: GT truncated this epoch ({parts}) — "
+                      f"raise cfg.max_instances / cfg.vnl_max_planes if "
+                      f"this is significant for your dataset.", flush=True)
+                if writer is not None:
+                    for k, v in trunc.items():
+                        writer.add_scalar(f"gt_truncation/{k}", v, iteration)
+                trunc.clear()
             if iteration == cfg.max_iter:
                 break
 
