@@ -284,6 +284,102 @@ DCN_SCAN_UNROLL = int(_os.environ.get("PRN_DCN_SCAN_UNROLL", "1"))
 # batched layer (round-3 default behaviour).
 DCN_CHUNK_MAX_MB = float(_os.environ.get("PRN_DCN_CHUNK_MAX_MB", "0"))
 
+# Hoist the sampling geometry (positions, corner indices/weights) OUT of
+# the chunk scan: only the gathers + matmuls spill at full batch — the
+# corner prep is elementwise VPU work ((B, R, 4) transients, ~7 MB at the
+# largest stage) and recomputing it inside every scan iteration paid
+# per-iteration scheduling overhead on ~40 sub-50us ops x 22 scans x 8
+# chunks (the round-4 trace's "in-scan bookkeeping" tail, PERF.md).
+# Bit-exact either way (tests/test_dcn.py::test_outer_prep_bit_exact);
+# 0 restores the round-3 all-inside-the-body formulation.
+DCN_OUTER_PREP = _os.environ.get("PRN_DCN_OUTER_PREP", "1") == "1"
+
+
+def _resolve_mode(mode: Optional[str], r: int, h: int, w: int) -> str:
+    """Collapse the mix:/onehot: policy strings to a concrete gather mode
+    for one layer (r = Ho*Wo*K samples, h*w = input positions)."""
+    mode = mode or CORNER_GATHER
+    if mode.startswith("mix:"):
+        return "patch" if r <= int(mode[4:]) else "rows"
+    if mode.startswith("onehot:"):
+        parts = mode.split(":")
+        return "onehot" if h * w <= int(parts[1]) else (
+            parts[2] if len(parts) > 2 else "rows")
+    return mode
+
+
+def _modulate_matmul(sampled, mask, weight, bias, b, k, cin, out_dtype):
+    """Shared tail of the deformable conv: modulation + the one MXU matmul
+    (sampled: (B, Ho*Wo*K, Cin) with bilinear weights already applied)."""
+    p = sampled.shape[1] // k
+    sampled = sampled.reshape(b, p, k, cin)
+    sampled = sampled * mask.reshape(b, p, k, 1).astype(sampled.dtype)
+    cols = sampled.reshape(b, p, k * cin)
+    wmat = weight.reshape(k * cin, -1)
+    out = jnp.einsum("bpf,fo->bpo", cols, wmat,
+                     preferred_element_type=jnp.float32)
+    out = out.astype(out_dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _forward_outer_prep(x, offset, mask, weight, bias, stride, padding,
+                        kernel_size, gather_mode, chunk):
+    """Chunk-scanned forward with the corner prep hoisted to full batch;
+    identical math and order to ``_forward_chunk`` per chunk."""
+    b, h, w, cin = x.shape
+    k = kernel_size * kernel_size
+    _, ho, wo, _ = offset.shape
+    sy, sx = _sampling_positions(b, h, w, ho, wo, kernel_size, stride,
+                                 padding, offset)
+    y0, x0, ws, ids, _ = _corner_data(sy, sx, h, w)
+    mode = _resolve_mode(gather_mode, sy.shape[1], h, w)
+    nb = b // chunk
+
+    def chunks(a):
+        return a.reshape(nb, chunk, *a.shape[1:])
+
+    x_flat = x.reshape(b, h * w, cin)
+    if mode == "patch":
+        if DCN_IDX16 and max(h, w) + 2 < 2 ** 15:
+            y0, x0 = y0.astype(jnp.int16), x0.astype(jnp.int16)
+        xs = (chunks(x), chunks(y0), chunks(x0), chunks(ws), chunks(mask))
+
+        def body(carry, args):
+            xc, y0c, x0c, wsc, mc = args
+            corners = _gather_patches(xc, y0c, x0c)
+            sampled = jnp.sum(
+                corners * wsc[..., None].astype(corners.dtype), axis=2)
+            return carry, _modulate_matmul(sampled, mc, weight, bias,
+                                           chunk, k, cin, x.dtype)
+    elif mode == "onehot":
+        fn = (_gather_onehot if _os.environ.get("PRN_DCN_ONEHOT_SAVE") == "1"
+              else _gather_onehot_remat)
+        xs = (chunks(x_flat), chunks(ids), chunks(ws), chunks(mask))
+
+        def body(carry, args):
+            xc, idsc, wsc, mc = args
+            sampled = fn(xc, idsc, wsc)
+            return carry, _modulate_matmul(sampled, mc, weight, bias,
+                                           chunk, k, cin, x.dtype)
+    else:
+        if DCN_IDX16 and h * w < 2 ** 15:
+            ids = ids.astype(jnp.int16)
+        xs = (chunks(x_flat), chunks(ids), chunks(ws), chunks(mask))
+
+        def body(carry, args):
+            xc, idsc, wsc, mc = args
+            corners = _gather_corners(xc, idsc)
+            sampled = jnp.sum(
+                corners * wsc[..., None].astype(corners.dtype), axis=2)
+            return carry, _modulate_matmul(sampled, mc, weight, bias,
+                                           chunk, k, cin, x.dtype)
+
+    _, out = jax.lax.scan(body, None, xs, unroll=DCN_SCAN_UNROLL)
+    out = out.reshape(b, ho * wo, -1)
+    return out.reshape(b, ho, wo, -1)
+
 
 def _forward_impl(x, offset, mask, weight, bias, stride, padding,
                   kernel_size, gather_mode=None):
@@ -306,6 +402,10 @@ def _forward_impl(x, offset, mask, weight, bias, stride, padding,
         if corner_mb <= DCN_CHUNK_MAX_MB:
             chunk = 0  # fits: one fused gather, no scan
     if 0 < chunk < b and b % chunk == 0:
+        if not USE_CUSTOM_VJP and DCN_OUTER_PREP:
+            return _forward_outer_prep(x, offset, mask, weight, bias,
+                                       stride, padding, kernel_size,
+                                       gather_mode, chunk)
         nb = b // chunk
         xs = (x.reshape(nb, chunk, *x.shape[1:]),
               offset.reshape(nb, chunk, *offset.shape[1:]),

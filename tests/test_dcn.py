@@ -368,3 +368,37 @@ def test_default_gather_mode_policy(monkeypatch):
     assert dcn.default_gather_mode(train=False) == "patch"
     monkeypatch.setenv("PRN_CORNER_GATHER", "rows")
     assert dcn.default_gather_mode(train=False) == "rows"
+
+
+def test_outer_prep_bit_exact(monkeypatch):
+    """Hoisting the corner prep out of the chunk scan (DCN_OUTER_PREP) is a
+    pure scheduling decision: forward AND grads must match the in-body
+    formulation bit-exactly for every gather mode."""
+    import planerecnet_tpu.ops.dcn as dcn
+
+    rng = np.random.RandomState(23)
+    b, h, w, cin, cout = 4, 7, 9, 4, 6
+    x = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    off = jnp.asarray(rng.randn(b, h, w, 18).astype(np.float32) * 1.2)
+    m = jnp.asarray(rng.rand(b, h, w, 9).astype(np.float32))
+    wt = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * .1)
+
+    def loss(mode, *a):
+        return jnp.sum(jnp.square(dcn.deform_conv2d(*a, gather_mode=mode)))
+
+    monkeypatch.setattr(dcn, "DCN_BATCH_CHUNK", 1)
+    monkeypatch.setattr(dcn, "DCN_CHUNK_MAX_MB", 0.0)
+    for mode in ("rows", "patch", "onehot", "mix:4", f"mix:{h * w * 9}",
+                 f"onehot:{h * w}", "onehot:4"):
+        outs, grads = [], []
+        for outer in (False, True):
+            monkeypatch.setattr(dcn, "DCN_OUTER_PREP", outer)
+            dcn.deform_conv2d.clear_cache()
+            outs.append(np.asarray(
+                dcn.deform_conv2d(x, off, m, wt, None, gather_mode=mode)))
+            grads.append(jax.grad(loss, argnums=(1, 2, 3, 4))(
+                mode, x, off, m, wt))
+        np.testing.assert_array_equal(outs[0], outs[1], err_msg=mode)
+        for a, c in zip(grads[0], grads[1]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c),
+                                          err_msg=mode)
