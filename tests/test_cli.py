@@ -587,3 +587,35 @@ def test_simple_inference_score_threshold_remap(monkeypatch):
     assert cfg.solov2.mask_thr == 0.42
     assert cfg.solov2.update_thr == 0.42
     assert cfg.solov2.score_thr == PlaneRecNet_50_config.solov2.score_thr
+
+
+def test_roofline_dcn_byte_accounting():
+    """tools/roofline.py --dcn_bytes: the gather-floor accounting in
+    PERF.md's round-5 roofline section. Pins the per-stage DCN block
+    counts to the backbone's own _stage_plan (PRN-50: 4/6/3 = 13 blocks,
+    PRN-101 interval-3: 2/8/1 = 11 — the counts every DCN perf claim in
+    PERF.md relies on) and the bytes/image formula H*W*9taps*4corners*
+    C*2 (bf16) against a hand computation."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import roofline
+
+    from planerecnet_tpu.config import PlaneRecNet_101_config
+
+    args = argparse.Namespace(config="PlaneRecNet_50_config",
+                              height=480, width=640, gather_gbs=None)
+    total = roofline.dcn_bytes(PlaneRecNet_50_config, args)
+    # conv3: 4 x 60*80*36*128*2; conv4: 6 x 30*40*36*256*2;
+    # conv5: 3 x 15*20*36*512*2
+    expect = (4 * 60 * 80 * 36 * 128 * 2 + 6 * 30 * 40 * 36 * 256 * 2
+              + 3 * 15 * 20 * 36 * 512 * 2)
+    assert total == expect
+
+    args.config = "PlaneRecNet_101_config"
+    total101 = roofline.dcn_bytes(PlaneRecNet_101_config, args)
+    expect101 = (2 * 60 * 80 * 36 * 128 * 2 + 8 * 30 * 40 * 36 * 256 * 2
+                 + 1 * 15 * 20 * 36 * 512 * 2)
+    assert total101 == expect101

@@ -104,6 +104,43 @@ def analyze_train(cfg, args):
     return gf + uf, gb + ub
 
 
+def dcn_bytes(cfg, args):
+    """Exact gather-byte accounting for the DCN floor claim (PERF.md
+    round-5 roofline): per output pixel the deformable conv gathers
+    9 taps x 4 bilinear corners x C channels of the stage feature map
+    (``ops/dcn.py``), so bytes/image per DCN block is
+    H_s * W_s * 36 * C * 2 (bf16). Block placement comes from the same
+    ``_stage_plan`` the backbone builds from, so the count is the
+    model's, not a hand count."""
+    from planerecnet_tpu.models.backbone import _stage_plan
+
+    bb = cfg.backbone
+    plan = _stage_plan(bb.layers, bb.dcn_layers, bb.dcn_interval,
+                       getattr(bb, "atrous_layers", ()) or ())
+    h, w = args.height, args.width
+    total = 0
+    print(f"\nDCN gather bytes/image ({args.config}, {h}x{w}, bf16):")
+    stride = 4  # C2 feature stride; _stage_plan strides are relative
+    for s, (planes, blocks, st, _dil, flags) in enumerate(plan):
+        if s > 0:
+            stride *= st
+        n = sum(flags)
+        if not n:
+            continue
+        per = (h // stride) * (w // stride) * 9 * 4 * planes * 2
+        total += n * per
+        print(f"  conv{s + 2}: {n} DCN block(s) x {per / 1e6:.2f} MB "
+              f"({h // stride}x{w // stride} x 36 x {planes}ch bf16)"
+              f" = {n * per / 1e6:.1f} MB")
+    print(f"  total {total / 1e6:.1f} MB gathered/image")
+    if args.gather_gbs:
+        floor_ms = total / (args.gather_gbs * 1e9) * 1e3
+        print(f"  at {args.gather_gbs} GB/s measured random-gather bw: "
+              f"{floor_ms:.2f} ms/image gather floor "
+              f"= {1e3 / floor_ms:.0f} img/s ceiling (gathers alone)")
+    return total
+
+
 def gather_bench(args):
     """Random-gather HBM bandwidth: the bound on the DCN im2col corner
     gathers (4 corners x 9 taps per output pixel). Timed from a device
@@ -179,6 +216,11 @@ def main():
                    help="Gathered rows per iter (out pixels x 9 taps x 4 "
                         "corners).")
     p.add_argument("--gather_iters", default=200, type=int)
+    p.add_argument("--dcn_bytes", action="store_true",
+                   help="Print per-stage DCN gather-byte accounting.")
+    p.add_argument("--gather_gbs", default=None, type=float,
+                   help="Measured random-gather GB/s (from --gather) to "
+                        "turn --dcn_bytes into a ms/image floor.")
     p.add_argument("--peak_tflops", default=None, type=float)
     p.add_argument("--peak_hbm_gbs", default=None, type=float)
     args = p.parse_args()
@@ -196,6 +238,11 @@ def main():
           f"HBM (public spec; override with --peak_*)")
 
     cfg = set_cfg(args.config)
+    if args.dcn_bytes:
+        dcn_bytes(cfg, args)
+        if not (args.imgs_per_s or args.train or args.gather):
+            return  # pure accounting run — skip the compiles
+
     flops_img, bytes_img = analyze_inference(cfg, args)
     print(f"\ninference pipeline ({args.config}, {args.height}x{args.width},"
           f" bs={args.batch_size}, {cfg.compute_dtype}):")
